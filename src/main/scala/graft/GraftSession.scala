@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard session builder: local[N] tuned for the fixture scale factors,
+  * with the settings every entry point (Verify, Bench, tests) shares.
+  *
+  * Scale note: `spark.sql.shuffle.partitions` is sized to the local core
+  * count here; on a real cluster AQE coalescing
+  * (`spark.sql.adaptive.enabled`) makes the initial number a ceiling, not a
+  * tuning knob — we set a high initial and let AQE shrink per-stage.
+  */
+object GraftSession {
+
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // events fixture stores TIMESTAMP(NANOS); read as long, truncated to
+      // micros in Tables.load (matches DuckDB's read behavior).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Fixture loaders + shared numeric helpers.
+  *
+  * Numeric policy for oracle parity: money-ish double columns are summed as
+  * exact `DECIMAL(18,2)` (order-independent, identical in Spark and DuckDB)
+  * and the final aggregate is cast back to `DOUBLE`. Plain double sums are
+  * order-dependent at the ulp level and would hash-mismatch across engines.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The `events` fixture stores ts as TIMESTAMP(NANOS); Spark reads it as
+    // a nanos long (spark.sql.legacy.parquet.nanosAsLong=true, set by
+    // GraftSession/Verify/Bench). Truncate to microseconds — the same thing
+    // DuckDB does on read — so both engines see identical instants.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register all fixtures as temp views so `spark.sql` can reference them
+    * with the same bare names the DuckDB oracle uses. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Exact (order-independent) sum of a money column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum divided by count, in double
+    * arithmetic — both engines compute the identical result. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Exact sum with more fractional digits (for derived products like
+    * price*(1-discount) that need >2 decimal places). */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+}

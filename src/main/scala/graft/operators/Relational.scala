@@ -1,0 +1,576 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.{davg, dsum, dsum6}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational operator surface (SURVEY.md §2.2): every shuffle-dependent
+  * operator class the reference exercises (TPC-DS q5/q49/q67/q75 shapes,
+  * RDD agg/sort tests), re-expressed as declarative DataFrame queries over
+  * the TPC-H-ish fixtures so Catalyst picks the physical strategy.
+  *
+  * Each query has a DuckDB-oracle SQL twin in [[graft.SparkEntry.oracleSql]].
+  * Numeric policy: see [[graft.Tables]] — exact decimal sums cast to double.
+  *
+  * Scale notes (100 TB): every aggregation here is partial→final
+  * (map-side combine); dimension joins (region/nation/part/supplier) are
+  * broadcast; fact-fact joins shuffle on their join keys and rely on AQE
+  * for skew/coalesce. No collect-driven logic anywhere.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** (spark, sfDir) => DataFrame query functions, keyed by query name. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- aggregation -----------------------------------------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1997-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q06_revenue_forecast" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          dsum6(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // --- narrow ops: projection + filter (no shuffle) --------------------
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          upper(col("l_returnflag")).as("flag"))
+    }),
+
+    // --- joins -----------------------------------------------------------
+    "q03_top_orders" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_order_priority" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem").filter(col("l_discount") > 0.05)
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q05_regional_revenue" -> ((s, d) => {
+      val region = broadcast(t(s, d, "region"))
+      val nation = broadcast(t(s, d, "nation"))
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+      region.join(nation, col("r_regionkey") === col("n_regionkey"))
+        .join(cust, col("n_nationkey") === col("c_nationkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q07_part_brand_volume" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val part = broadcast(t(s, d, "part"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q08_customers_without_urgent_orders" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    "q09_order_size_histogram" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_orderkey")).as("n_items"))
+        .groupBy(col("n_items"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    "q24_acctbal_theta_join" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val sup = broadcast(t(s, d, "supplier"))
+      cust.join(sup,
+          col("c_nationkey") === col("s_nationkey") && col("c_acctbal") > col("s_acctbal"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    "q25_nonequi_nested_loop" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val region = broadcast(t(s, d, "region"))
+      nation.join(region, col("n_regionkey") < col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_greater_regions"))
+    }),
+
+    "q26_avg_quantity_filter" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      li.join(perPart, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n_rows"))
+    }),
+
+    "q27_cross_join" -> ((s, d) => {
+      val region = t(s, d, "region")
+      val st = t(s, d, "orders").select(col("o_orderstatus")).distinct()
+      region.crossJoin(st).select(col("r_name"), col("o_orderstatus"))
+    }),
+
+    // --- distinct / dedup ------------------------------------------------
+    "q10_distinct_pairs" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_mktsegment"), col("c_nationkey")).distinct()
+    }),
+
+    // --- rollup / cube / grouping sets -----------------------------------
+    "q11_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+    }),
+
+    "q12_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          dsum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n_orders"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+    }),
+
+    "q13_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      """)
+    }),
+
+    // --- window functions -------------------------------------------------
+    "q14_rank_by_priority" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .filter(col("rnk") <= 5)
+    }),
+
+    "q15_running_totals" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wf).cast(DoubleType).as("running_total"),
+        row_number().over(w).as("order_seq"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+    }),
+
+    "q17_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    }),
+
+    // --- global sort / top-k ---------------------------------------------
+    "q16_global_sort" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
+    // --- set operations ---------------------------------------------------
+    "q18_union_volumes" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        lit("lineitem").as("src"), col("l_extendedprice").as("amount"))
+      val ord = t(s, d, "orders").select(
+        lit("orders").as("src"), col("o_totalprice").as("amount"))
+      li.unionAll(ord).groupBy(col("src"))
+        .agg(dsum(col("amount")).as("sum_amount"), count(lit(1)).as("n_rows"))
+    }),
+
+    "q19_intersect" -> ((s, d) => {
+      val rich = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val ordering = t(s, d, "orders").select(col("o_custkey").as("custkey"))
+      rich.intersect(ordering)
+    }),
+
+    "q20_except" -> ((s, d) => {
+      val all = t(s, d, "customer").select(col("c_custkey").as("custkey"))
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      all.except(urgent)
+    }),
+
+    // --- scalar functions --------------------------------------------------
+    "q21_scalar_functions" -> ((s, d) => {
+      t(s, d, "part").select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        upper(col("p_brand")).as("brand_uc"),
+        length(col("p_type")).as("type_len"),
+        round(col("p_retailprice") * 1.1, 2).as("adj_price"),
+        abs(col("p_size") - 25).as("size_dev"),
+        when(col("p_size") > 25, "large").otherwise("small").as("size_class"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+    }),
+
+    "q22_datetime_buckets" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    "q23_json_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_events"))
+    }),
+
+    // --- having / conditional agg -----------------------------------------
+    "q28_frequent_customers" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") > 5)
+    }),
+
+    "q29_conditional_agg" -> ((s, d) => {
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(when(col("c_acctbal") < 0, 1).otherwise(0)).as("n_negative"),
+          dsum(col("c_acctbal")).as("sum_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          count(lit(1)).as("n_customers"))
+    }),
+
+    // --- time-series / events ----------------------------------------------
+    "q30_event_daily" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // --- array ops ---------------------------------------------------------
+    "q31_embedding_stats" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(element_at(col("embedding"), 1).cast(DoubleType).cast(DecimalType(28, 10)))
+            .cast(DoubleType).as("sum_dim1"),
+          avg(size(col("embedding"))).as("avg_dim"))
+    })
+  )
+
+  /** DuckDB-oracle SQL twins. Bare table names resolve against the same
+    * parquet fixtures the Spark side reads. */
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             MIN(l_quantity) AS min_qty,
+             MAX(l_extendedprice) AS max_price,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1997-12-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus""",
+
+    "q06_revenue_forecast" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice * (1 - l_discount) AS revenue,
+             UPPER(l_returnflag) AS flag
+      FROM lineitem
+      WHERE l_quantity > 45 AND l_discount >= 0.05""",
+
+    "q03_top_orders" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""",
+
+    "q04_order_priority" -> """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+      GROUP BY o_orderpriority""",
+
+    "q05_regional_revenue" -> """
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM region
+      JOIN nation ON r_regionkey = n_regionkey
+      JOIN customer ON n_nationkey = c_nationkey
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      GROUP BY r_name, n_name""",
+
+    "q07_part_brand_volume" -> """
+      SELECT p_brand,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand""",
+
+    "q08_customers_without_urgent_orders" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment""",
+
+    "q09_order_size_histogram" -> """
+      SELECT n_items, COUNT(*) AS n_orders
+      FROM (SELECT o_orderkey, COUNT(l_orderkey) AS n_items
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey)
+      GROUP BY n_items""",
+
+    "q24_acctbal_theta_join" -> """
+      SELECT c_nationkey, COUNT(*) AS n_pairs
+      FROM customer JOIN supplier
+        ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+      GROUP BY c_nationkey""",
+
+    "q25_nonequi_nested_loop" -> """
+      SELECT n_name, COUNT(*) AS n_greater_regions
+      FROM nation JOIN region ON n_regionkey < r_regionkey
+      GROUP BY n_name""",
+
+    "q26_avg_quantity_filter" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      JOIN (SELECT l_partkey AS ap_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+            FROM lineitem GROUP BY l_partkey) a
+        ON l_partkey = ap_partkey
+      WHERE l_quantity < 0.5 * avg_qty""",
+
+    "q27_cross_join" -> """
+      SELECT r_name, o_orderstatus
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)""",
+
+    "q10_distinct_pairs" -> """
+      SELECT DISTINCT c_mktsegment, c_nationkey FROM customer""",
+
+    "q11_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_rows,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q12_cube" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             COUNT(*) AS n_orders,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "q13_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "q14_rank_by_priority" -> """
+      SELECT * FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+        FROM orders)
+      WHERE rnk <= 5""",
+
+    "q15_running_totals" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+             ROW_NUMBER() OVER w2 AS order_seq,
+             LAG(o_orderkey, 1) OVER w2 AS prev_orderkey,
+             LEAD(o_orderkey, 1) OVER w2 AS next_orderkey
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q17_topk_per_group" -> """
+      SELECT * FROM (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer)
+      WHERE rn <= 3""",
+
+    "q16_global_sort" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 100""",
+
+    "q18_union_volumes" -> """
+      SELECT src, CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+             COUNT(*) AS n_rows
+      FROM (SELECT 'lineitem' AS src, l_extendedprice AS amount FROM lineitem
+            UNION ALL
+            SELECT 'orders' AS src, o_totalprice AS amount FROM orders)
+      GROUP BY src""",
+
+    "q19_intersect" -> """
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders""",
+
+    "q20_except" -> """
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'""",
+
+    "q21_scalar_functions" -> """
+      SELECT p_partkey,
+             SUBSTRING(p_name, 1, 8) AS name_prefix,
+             UPPER(p_brand) AS brand_uc,
+             LENGTH(p_type) AS type_len,
+             ROUND(p_retailprice * 1.1, 2) AS adj_price,
+             ABS(p_size - 25) AS size_dev,
+             CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class,
+             CONCAT_WS('-', p_brand, p_type) AS brand_type
+      FROM part""",
+
+    "q22_datetime_buckets" -> """
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY 1, 2""",
+
+    "q23_json_extract" -> """
+      SELECT event_type,
+             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             COUNT(json_extract_string(props, '$.k')) AS n_events
+      FROM events
+      GROUP BY event_type""",
+
+    "q28_frequent_customers" -> """
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) > 5""",
+
+    "q29_conditional_agg" -> """
+      SELECT c_mktsegment,
+             SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+             MAX(c_acctbal) AS max_bal,
+             MIN(c_acctbal) AS min_bal,
+             COUNT(*) AS n_customers
+      FROM customer
+      GROUP BY c_mktsegment""",
+
+    "q30_event_daily" -> """
+      SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY 1, 2""",
+
+    "q31_embedding_stats" -> """
+      SELECT label, COUNT(*) AS n_vecs,
+             CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sum_dim1,
+             AVG(LEN(embedding)) AS avg_dim
+      FROM embeddings
+      GROUP BY label"""
+  )
+}
