@@ -13,8 +13,8 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      : SparkSession.Builder =
-    SparkSession.builder()
+      : SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,6 +26,20 @@ object GraftSession {
       // events fixture stores TIMESTAMP(NANOS); read as long, truncated to
       // micros in Tables.load (matches DuckDB's read behavior).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Run every shuffle through the cloud shuffle plugin (the engine's
+    // core): file:// stands in for the object store locally, exactly as
+    // the reference's own tests do. SPARK_GRAFT_NO_PLUGIN=1 opts out.
+    if (!sys.env.contains("SPARK_GRAFT_NO_PLUGIN")) {
+      b.config("spark.shuffle.manager",
+          "org.apache.spark.shuffle.cloud.CloudShuffleManager")
+        .config("spark.shuffle.sort.io.plugin.class",
+          "org.apache.spark.shuffle.cloud.CloudShuffleDataIO")
+        .config("spark.shuffle.cloud.rootDir",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_DIR",
+            s"file:///tmp/cloud-shuffle-${java.util.UUID.randomUUID()}"))
+    }
+    b
+  }
 
   def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = builder(cpus).getOrCreate()

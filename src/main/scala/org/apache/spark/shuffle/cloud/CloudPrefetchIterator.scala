@@ -1,0 +1,169 @@
+package org.apache.spark.shuffle.cloud
+
+import java.io.{ByteArrayInputStream, InputStream, SequenceInputStream}
+import java.util.concurrent.LinkedBlockingQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.storage.BlockId
+
+/** Asynchronous, memory-capped block prefetcher — the heart of read
+  * performance against high-latency object stores.
+  *
+  * Behavioral spec from the reference (`S3BufferedPrefetchIterator.scala:
+  * 16-213`): a pool of daemon threads pulls blocks off the fetch list,
+  * buffers up to `min(blockSize, maxBufferSizeTask-share)` bytes each, and
+  * hands completed buffers to the consuming task thread through a blocking
+  * queue; total buffered bytes never exceed `maxBufferSizeTask`. Thread
+  * count adapts to observed fetch latency (`:32-94`): a hill-climbing
+  * controller compares the recent average latency against the previous
+  * window and steps the concurrency up when latency is flat/improving,
+  * down when it degrades — bounded by `[1, maxConcurrencyTask]`.
+  *
+  * Completion order is delivery order: reducers don't care which map's
+  * block arrives first, so the queue never head-of-line blocks.
+  */
+private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
+    blocks: IndexedSeq[(BlockId, CloudBlockStream, InputStream)])
+    extends Iterator[(BlockId, InputStream)] with Logging {
+
+  private case class Fetched(blockId: BlockId, stream: InputStream, buffered: Long)
+
+  private val nextIdx = new AtomicInteger(0)
+  private val queue = new LinkedBlockingQueue[Either[Throwable, Fetched]]()
+  private var delivered = 0
+  private val total = blocks.length
+
+  // --- memory budget ------------------------------------------------------
+  private val budgetLock = new Object
+  private var bufferedBytes = 0L
+
+  private def acquire(size: Long): Unit = budgetLock.synchronized {
+    // Always admit at least one in-flight buffer to avoid deadlock on
+    // blocks larger than the whole budget.
+    while (bufferedBytes > 0 && bufferedBytes + size > env.maxBufferSizeTask) {
+      budgetLock.wait()
+    }
+    bufferedBytes += size
+  }
+
+  private def release(size: Long): Unit = budgetLock.synchronized {
+    bufferedBytes -= size
+    budgetLock.notifyAll()
+  }
+
+  // --- adaptive concurrency ----------------------------------------------
+  @volatile private var targetThreads =
+    if (env.adaptiveConcurrency) math.min(2, env.maxConcurrencyTask)
+    else env.maxConcurrencyTask
+  private val latencyLock = new Object
+  private var windowNanos = 0L
+  private var windowCount = 0
+  private var prevAvgNanos = Long.MaxValue
+  private var lastStep = +1
+
+  private def recordLatency(nanos: Long): Unit = {
+    if (!env.adaptiveConcurrency) return
+    latencyLock.synchronized {
+      windowNanos += nanos
+      windowCount += 1
+      if (windowCount >= 8) {
+        val avg = windowNanos / windowCount
+        // keep moving in the same direction while latency improves;
+        // reverse when it degrades by >10%
+        val step = if (avg > prevAvgNanos + prevAvgNanos / 10) -lastStep else lastStep
+        targetThreads = math.max(1, math.min(env.maxConcurrencyTask, targetThreads + step))
+        lastStep = if (step == 0) 1 else step
+        prevAvgNanos = avg
+        windowNanos = 0L
+        windowCount = 0
+      }
+    }
+  }
+
+  // --- worker pool --------------------------------------------------------
+  private val activeWorkers = new AtomicInteger(0)
+  private val workers = (0 until env.maxConcurrencyTask).map { i =>
+    val t = new Thread(() => workLoop(i), s"cloud-shuffle-prefetch-$i")
+    t.setDaemon(true)
+    t
+  }
+  if (total > 0) workers.foreach(_.start())
+
+  private def workLoop(workerId: Int): Unit = {
+    while (true) {
+      // soft concurrency gate: workers beyond the adaptive target park
+      if (workerId >= targetThreads) {
+        val idx = nextIdx.get()
+        if (idx >= total) return
+        Thread.sleep(1)
+      } else {
+        val idx = nextIdx.getAndIncrement()
+        if (idx >= total) return
+        val (blockId, ranged, wrapped) = blocks(idx)
+        try {
+          val toBuffer = math.min(ranged.size, env.maxBufferSizeTask)
+          acquire(toBuffer)
+          val t0 = System.nanoTime()
+          val buf = readUpTo(wrapped, toBuffer)
+          recordLatency(System.nanoTime() - t0)
+          val stream: InputStream =
+            if (buf.length.toLong >= ranged.size || isExhausted(wrapped)) {
+              wrapped.close()
+              new ByteArrayInputStream(buf)
+            } else {
+              // block bigger than the budget: serve the buffered head, then
+              // stream the tail straight from the store
+              new SequenceInputStream(new ByteArrayInputStream(buf), wrapped)
+            }
+          queue.put(Right(Fetched(blockId, stream, toBuffer)))
+        } catch {
+          case t: Throwable =>
+            release(math.min(ranged.size, env.maxBufferSizeTask))
+            queue.put(Left(t))
+            return
+        }
+      }
+    }
+  }
+
+  /** The ranged stream reports its own exhaustion; wrappers (decompression)
+    * don't, so probe conservatively: only a raw CloudBlockStream can be
+    * declared done early. */
+  private def isExhausted(s: InputStream): Boolean = s match {
+    case c: CloudBlockStream => c.size <= 0
+    case _                   => false
+  }
+
+  private def readUpTo(in: InputStream, limit: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(limit, 1 << 20).toInt)
+    val buf = new Array[Byte](64 * 1024)
+    var left = limit
+    var eof = false
+    while (left > 0 && !eof) {
+      val n = in.read(buf, 0, math.min(buf.length.toLong, left).toInt)
+      if (n < 0) eof = true
+      else {
+        out.write(buf, 0, n)
+        left -= n
+      }
+    }
+    out.toByteArray
+  }
+
+  // --- consumer side ------------------------------------------------------
+  override def hasNext: Boolean = delivered < total
+
+  override def next(): (BlockId, InputStream) = {
+    queue.take() match {
+      case Left(err) =>
+        throw new RuntimeException(s"cloud shuffle prefetch failed", err)
+      case Right(f) =>
+        delivered += 1
+        // release the budget once the task thread owns the buffer: the
+        // bytes are handed off, not duplicated
+        release(f.buffered)
+        (f.blockId, f.stream)
+    }
+  }
+}

@@ -1,0 +1,226 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.{SparkConf, SparkContext}
+import org.apache.spark.shuffle.cloud.{CloudShuffleDataIO, CloudShuffleEnv, CloudShuffleManager}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle round-trip suite — same shapes as the reference's own tests
+  * (`S3ShuffleManagerTest.scala`): aggregation, group-by, forced sort
+  * shuffle, combineByKey, terasort-like global sort — plus SQL through the
+  * plugin and checksum/prefetch toggles. `file://` substitutes for S3 via
+  * the Hadoop FileSystem abstraction, exactly as the reference tests do.
+  */
+class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
+
+  private def baseConf(extra: (String, String)*): SparkConf = {
+    val root = Files.createTempDirectory("cloud-shuffle-test").toUri.toString
+    val c = new SparkConf()
+      .setMaster("local[4]")
+      .setAppName("cloud-shuffle-spec")
+      .set("spark.ui.enabled", "false")
+      .set("spark.shuffle.manager", classOf[CloudShuffleManager].getName)
+      .set("spark.shuffle.sort.io.plugin.class", classOf[CloudShuffleDataIO].getName)
+      .set("spark.shuffle.cloud.rootDir", root)
+      // raw local FS: no Hadoop .crc side files — closer to object-store
+      // semantics, and lets OUR checksum validator do the detecting
+      .set("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .set("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    extra.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  override def beforeEach(): Unit = CloudShuffleEnv.reset()
+
+  override def afterEach(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    CloudShuffleEnv.reset()
+  }
+
+  private def withSc[T](conf: SparkConf)(body: SparkContext => T): T = {
+    val sc = new SparkContext(conf)
+    try body(sc)
+    finally sc.stop()
+  }
+
+  test("foldByKey round trip (sort/unsafe path)") {
+    withSc(baseConf()) { sc =>
+      val n = 10000
+      val data = sc.parallelize(0 until n, 3).map(t => (t / 2, t.toLong * 2))
+      val result = data.foldByKey(0L, 5)(_ + _).collect()
+      assert(result.length == n / 2)
+      // closed form: key k holds 2*(2k) + 2*(2k+1) = 8k + 2
+      result.foreach { case (k, v) => assert(v == 8L * k + 2) }
+    }
+  }
+
+  test("foldByKey round trip (bypass-merge path)") {
+    withSc(baseConf("spark.shuffle.sort.bypassMergeThreshold" -> "1000")) { sc =>
+      val n = 10000
+      val data = sc.parallelize(0 until n, 3).map(t => (t / 2, t.toLong * 2))
+      val result = data.foldByKey(0L, 5)(_ + _).collect()
+      assert(result.length == n / 2)
+      result.foreach { case (k, v) => assert(v == 8L * k + 2) }
+    }
+  }
+
+  test("groupByKey without map-side combine") {
+    withSc(baseConf()) { sc =>
+      val pairs = sc.parallelize(0 until 2000, 7).map(i => (i % 53, i))
+      val grouped = pairs.groupByKey(11).collect()
+      assert(grouped.length == 53)
+      grouped.foreach { case (k, vs) =>
+        val expected = (0 until 2000).filter(_ % 53 == k)
+        assert(vs.toSeq.sorted == expected)
+      }
+    }
+  }
+
+  test("sortBy forced through sort shuffle produces global order") {
+    withSc(baseConf("spark.shuffle.sort.bypassMergeThreshold" -> "1")) { sc =>
+      val rng = new Random(7)
+      val values = Array.fill(10000)(rng.nextInt())
+      val sorted = sc.parallelize(values.toIndexedSeq, 5).sortBy(identity, ascending = true, 4).collect()
+      assert(sorted.toSeq == values.toSeq.sorted)
+    }
+  }
+
+  test("combineByKey with map-side combine across many partitions") {
+    withSc(baseConf()) { sc =>
+      val parts = 20
+      val perPart = 10000
+      val data = sc.parallelize(0 until parts, parts).flatMap { p =>
+        (0 until perPart).map(i => (p, i.toLong))
+      }
+      val combined = data.combineByKey[Long](
+        (v: Long) => v, (acc: Long, v: Long) => acc + v,
+        (a: Long, b: Long) => a + b, 7).collect()
+      assert(combined.length == parts)
+      val expected = (0L until perPart.toLong).sum
+      combined.foreach { case (_, sum) => assert(sum == expected) }
+    }
+  }
+
+  test("terasort-like: sortByKey on random pairs") {
+    withSc(baseConf()) { sc =>
+      val rng = new Random(42)
+      val pairs = Array.fill(50000)((rng.nextInt(), rng.nextInt()))
+      val sorted = sc.parallelize(pairs.toIndexedSeq, 5).sortByKey(ascending = true, 4).collect()
+      assert(sorted.map(_._1).toSeq == pairs.map(_._1).toSeq.sorted)
+    }
+  }
+
+  test("distinct + repartition through the plugin") {
+    withSc(baseConf()) { sc =>
+      val data = sc.parallelize(0 until 5000, 8).map(_ % 100)
+      assert(data.distinct(6).collect().sorted.toSeq == (0 until 100))
+      assert(data.repartition(13).count() == 5000)
+    }
+  }
+
+  test("checksum validation accepts clean data") {
+    withSc(baseConf("spark.shuffle.cloud.checksum.validate" -> "true")) { sc =>
+      val result = sc.parallelize(0 until 1000, 4).map(i => (i % 10, i))
+        .reduceByKey(_ + _, 3).collect()
+      assert(result.length == 10)
+    }
+  }
+
+  test("checksum validation detects corruption") {
+    val conf = baseConf("spark.shuffle.cloud.checksum.validate" -> "true")
+    val root = conf.get("spark.shuffle.cloud.rootDir")
+    withSc(conf) { sc =>
+      val agg = sc.parallelize(0 until 1000, 2).map(i => (i % 10, i))
+        .reduceByKey(_ + _, 2)
+      // materialize once so the map outputs exist on the store
+      assert(agg.count() == 10)
+      // corrupt every data blob in place
+      val rootPath = java.nio.file.Paths.get(new java.net.URI(root))
+      var corrupted = 0
+      Files.walk(rootPath).iterator().forEachRemaining { p =>
+        if (p.toString.endsWith(".data")) {
+          val bytes = Files.readAllBytes(p)
+          if (bytes.length > 4) {
+            bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+            Files.write(p, bytes)
+            corrupted += 1
+          }
+        }
+      }
+      assert(corrupted > 0, "expected shuffle data files to corrupt")
+      // re-collecting the SAME rdd re-reads the registered map outputs —
+      // the streaming validator must reject them
+      val err = intercept[Exception] { agg.collect() }
+      assert(err.toString.toLowerCase.contains("checksum")
+        || Option(err.getCause).exists(_.toString.toLowerCase.contains("checksum")),
+        s"expected a checksum failure, got $err")
+    }
+  }
+
+  test("spark-sql aggregation + join through the plugin matches default manager") {
+    val expected = {
+      val spark = SparkSession.builder()
+        .master("local[4]").appName("default-mgr")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      try {
+        val df = queryFor(spark)
+        df.collect().map(_.toString()).sorted.toSeq
+      } finally spark.stop()
+    }
+    CloudShuffleEnv.reset()
+    val got = {
+      val spark = SparkSession.builder().config(baseConf()).getOrCreate()
+      try queryFor(spark).collect().map(_.toString()).sorted.toSeq
+      finally spark.stop()
+    }
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  private def queryFor(spark: SparkSession) = {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy("o_orderpriority", "l_returnflag")
+  }
+
+  test("empty partitions and zero-row shuffles") {
+    withSc(baseConf()) { sc =>
+      val empty = sc.parallelize(Seq.empty[(Int, Int)], 4)
+      assert(empty.reduceByKey(_ + _, 3).collect().isEmpty)
+      // heavily skewed: most partitions empty
+      val skewed = sc.parallelize(Seq((1, 1), (1, 2), (1, 3)), 8)
+      assert(skewed.groupByKey(16).collect().head._2.toSeq.sorted == Seq(1, 2, 3))
+    }
+  }
+
+  test("unregisterShuffle removes objects from the store") {
+    val conf = baseConf()
+    val root = conf.get("spark.shuffle.cloud.rootDir")
+    withSc(conf) { sc =>
+      val data = sc.parallelize(0 until 100, 2).map(i => (i % 5, i))
+      val rdd = data.reduceByKey(_ + _, 2)
+      rdd.count()
+      val rootPath = java.nio.file.Paths.get(new java.net.URI(root))
+      def shuffleFiles() = {
+        if (Files.exists(rootPath))
+          Files.walk(rootPath).filter(p => p.toString.contains("shuffle_")).count()
+        else 0L
+      }
+      assert(shuffleFiles() > 0)
+      val shuffleId = rdd.dependencies.head
+        .asInstanceOf[org.apache.spark.ShuffleDependency[_, _, _]].shuffleId
+      org.apache.spark.SparkEnv.get.shuffleManager.unregisterShuffle(shuffleId)
+      assert(shuffleFiles() == 0)
+    }
+  }
+}
