@@ -15,10 +15,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops (those get
+    * the driver's weaker rows-only check + ScalaTest invariants). */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles
+    operators.Relational.oracles ++
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles ++
+      operators.TextAnalysis.oracles ++
+      operators.Multimodal.oracles
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` fixture — the LLM-pipeline
+  * north-star ops (SURVEY.md §2.3).
+  *
+  * Scale design: exact dedup and the LSH family are pure hash-partition /
+  * equi-join pipelines that scale linearly; the exact pairwise-Jaccard op
+  * is intentionally bounded (`doc_id < 500`) and exists as the verifiable
+  * ground truth that the LSH candidates are spec-checked against.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by content fingerprint, keep the smallest doc_id.
+    // At 100 TB this is a single hash shuffle on the fingerprint.
+    "dd01_exact_dedup" -> ((s, d) => {
+      docs(s, d)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_copies"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+
+    // Dedup summary per source: how much would exact dedup remove?
+    "dd02_dedup_stats" -> ((s, d) => {
+      docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(fingerprint(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(fingerprint(col("text")))).as("n_dup_docs"))
+    }),
+
+    // Ground-truth near-dup pairs: exact word-set Jaccard >= 0.9 on a
+    // bounded subset (self-join stays O(500²) at every scale factor).
+    "dd03_jaccard_pairs" -> ((s, d) => {
+      val w = docs(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), tokenSet(col("text")).as("ws"))
+      val a = w.select(col("doc_id").as("a_id"), col("ws").as("a_ws"))
+      val b = w.select(col("doc_id").as("b_id"), col("ws").as("b_ws"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          jaccard(col("a_ws"), col("b_ws")).as("jac"))
+        .filter(col("jac") >= 0.9)
+    }),
+
+    // MinHash + LSH near-dup detection — the scale path. Signatures and
+    // band keys are per-row narrow work; candidates meet via equi-join on
+    // (band, bucket); verification re-checks exact Jaccard so false
+    // positives drop out. Runs on the FULL table.
+    "dd04_minhash_lsh_pairs" -> ((s, d) => {
+      val perms = 64
+      val bands = 16
+      val rows = perms / bands
+      val w = docs(s, d)
+        .select(col("doc_id"), tokenSet(col("text")).as("ws"))
+        .withColumn("sig", minhashSignature(col("ws"), perms))
+      val banded = w.select(col("doc_id"), col("ws"),
+          explode(minhashBands(col("sig"), bands, rows)).as("bk"))
+        .select(col("doc_id"), col("ws"),
+          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      val a = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("a_id"), col("ws").as("a_ws"))
+      val b = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("b_id"), col("ws").as("b_ws"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_ws"), col("b_ws"))
+        .distinct() // same pair can collide in several bands
+        .select(col("a_id"), col("b_id"),
+          jaccard(col("a_ws"), col("b_ws")).as("jac"))
+        .filter(col("jac") >= 0.9)
+    }),
+
+    // SimHash near-dup: 64-bit signature, blocking on 16-bit chunks (a
+    // pair within hamming distance 3 shares at least one of 4 chunks),
+    // verified by exact hamming distance.
+    "dd05_simhash_pairs" -> ((s, d) => {
+      val w = docs(s, d)
+        .select(col("doc_id"), simhash(tokenSet(col("text"))).as("sh"))
+      val chunked = w.select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(3))).as("chunk"))
+        .withColumn("chunk_val",
+          call_function("shiftright", col("sh"), col("chunk") * 16)
+            .bitwiseAND(lit(0xffffL)))
+      val a = chunked.select(col("chunk"), col("chunk_val"),
+        col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = chunked.select(col("chunk"), col("chunk_val"),
+        col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, Seq("chunk", "chunk_val"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+        .select(col("a_id"), col("b_id"),
+          hamming64(col("a_sh"), col("b_sh")).as("hamming"))
+        .filter(col("hamming") <= 3)
+    }),
+
+    // Embedding near-dup: cosine similarity above threshold on a bounded
+    // subset (ground truth for the ANN path in Similarity).
+    "dd06_embedding_neardup" -> ((s, d) => {
+      import graft.functions.VectorOps
+      val e = Tables.load(s, d, "embeddings").filter(col("vec_id") < 500)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          VectorOps.cosine(col("a_v"), col("b_v")).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd01_exact_dedup" -> """
+      SELECT md5(TRIM(LOWER(text))) AS fp,
+             MIN(doc_id) AS keep_doc_id,
+             COUNT(*) AS n_copies,
+             MAX(n_chars) AS max_chars
+      FROM documents
+      GROUP BY 1""",
+
+    "dd02_dedup_stats" -> """
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT md5(TRIM(LOWER(text)))) AS n_unique,
+             COUNT(*) - COUNT(DISTINCT md5(TRIM(LOWER(text)))) AS n_dup_docs
+      FROM documents
+      GROUP BY source""",
+
+    "dd03_jaccard_pairs" -> """
+      WITH w AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        FROM documents WHERE doc_id < 500)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
+               / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) AS jac
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9""",
+
+    "dd06_embedding_neardup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 500)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4"""
+  )
+}

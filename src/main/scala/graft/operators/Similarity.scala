@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (SURVEY.md §2.3).
+  *
+  * Two tiers: brute-force cosine top-k (exact; quadratic, the correctness
+  * baseline) and random-hyperplane LSH bucketing (the 100 TB path — a
+  * hash-partitioned equi-join whose candidate sets are tiny fractions of
+  * the cross product). The LSH tier's recall against the exact tier is
+  * asserted in NorthStarSpec.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact top-5 neighbors for 10 query vectors by brute-force cosine.
+    "ss01_cosine_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
+      val scored = q.crossJoin(c)
+        .select(col("q_id"), col("c_id"),
+          cosine(col("q_v"), col("c_v")).as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      scored.select(col("q_id"), col("c_id"), col("cos"),
+          row_number().over(w).as("rank"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // ANN via multi-table random-hyperplane LSH: 8 tables × 4 sign bits;
+    // a candidate meets a query if they collide in ANY table; exact cosine
+    // re-ranks the (deduplicated) candidates.
+    "ss02_ann_lsh_topk" -> ((s, d) => {
+      val keyed = emb(s, d).select(col("vec_id"), col("embedding"),
+          explode(rpLshTables(col("embedding"), tables = 8, bitsPerTable = 4)).as("tb"))
+        .select(col("vec_id"), col("embedding"),
+          col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      val q = keyed.filter(col("vec_id") < 10)
+        .select(col("table"), col("bucket"), col("vec_id").as("q_id"),
+          col("embedding").as("q_v"))
+      val c = keyed.filter(col("vec_id") >= 10)
+        .select(col("table"), col("bucket"), col("vec_id").as("c_id"),
+          col("embedding").as("c_v"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      q.join(c, Seq("table", "bucket"))
+        .select(col("q_id"), col("c_id"), col("q_v"), col("c_v")).distinct()
+        .select(col("q_id"), col("c_id"),
+          cosine(col("q_v"), col("c_v")).as("cos"))
+        .select(col("q_id"), col("c_id"), col("cos"),
+          row_number().over(w).as("rank"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // Per-label centroid norms — a coarse-quantization (IVF-style) summary:
+    // centroid = mean vector per label, computed dimension-wise via
+    // posexplode + re-aggregation (pure shuffle ops, linear scale).
+    "ss03_label_centroids" -> ((s, d) => {
+      val e = emb(s, d)
+      // decimal-exact sums: order-independent across shuffle partitions,
+      // identical in DuckDB (see Tables numeric policy)
+      e.select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("cx"),
+          count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_dims"),
+          round(sqrt(sum((col("cx") * col("cx")).cast("decimal(38,18)")).cast("double")), 6)
+            .as("centroid_norm"),
+          max(col("n")).as("n_vecs"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ss01_cosine_topk" -> """
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id >= 10),
+           scored AS (
+             SELECT q_id, c_id, list_cosine_similarity(q.v, c.v) AS cos
+             FROM q CROSS JOIN c),
+           ranked AS (
+             SELECT q_id, c_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cos DESC, c_id) AS rank
+             FROM scored)
+      SELECT q_id, c_id, rank, ROUND(cos, 6) AS cos_r
+      FROM ranked WHERE rank <= 5""",
+
+    "ss03_label_centroids" -> """
+      WITH expl AS (
+        SELECT label, u.dim - 1 AS dim, u.x
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+                             generate_subscripts(embedding, 1) AS dim) u),
+           cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS cx,
+               COUNT(*) AS n
+        FROM expl GROUP BY label, dim)
+      SELECT label, COUNT(*) AS n_dims,
+             ROUND(SQRT(CAST(SUM(CAST(cx * cx AS DECIMAL(38,18))) AS DOUBLE)), 6) AS centroid_norm,
+             MAX(n) AS n_vecs
+      FROM cent GROUP BY label"""
+  )
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextOps._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` fixture (SURVEY.md §2.3):
+  * token counting, quality scoring, language-ID heuristics, fingerprints.
+  * All per-document work is narrow (no shuffle); only the final rollups
+  * shuffle — linear at any scale.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** English-ish stopword markers used by the heuristics. */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def stopCount(ws: Column): Column =
+    size(filter_function_stub(ws))
+
+  // `filter` the SQL function collides with Dataset.filter in scope; alias.
+  private def filter_function_stub(ws: Column): Column =
+    org.apache.spark.sql.functions.filter(ws,
+      w => w.isInCollection(stopwords))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + alpha-token regex count.
+    "tx01_token_counts" -> ((s, d) => {
+      docs(s, d)
+        .select(col("source"),
+          size(tokens(col("text"))).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_tokens"),
+          length(col("text")).as("n_chars_m"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_ws_tokens")).as("sum_ws_tokens"),
+          sum(col("n_alpha_tokens")).as("sum_alpha_tokens"),
+          sum(col("n_chars_m")).as("sum_chars"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // Per-document quality scoring: length, mean word length, stopword
+    // ratio, distinct-token ratio → composite score.
+    "tx02_quality_scores" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), col("lang"),
+        tokens(col("text")).as("ws"), length(col("text")).as("len"))
+      t.select(col("doc_id"), col("lang"),
+          size(col("ws")).as("n_tokens"),
+          ((col("len") - size(col("ws")) + 1).cast("double") / size(col("ws")))
+            .as("avg_word_len"),
+          (stopCount(col("ws")).cast("double") / size(col("ws"))).as("stop_ratio"),
+          (size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
+            .as("distinct_ratio"))
+        .withColumn("quality",
+          round(least(lit(1.0),
+            (col("stop_ratio") * 2 + col("distinct_ratio")) *
+              when(col("n_tokens") >= 20, 1.0).otherwise(0.5)), 6))
+    }),
+
+    // Language-ID heuristic (confusion matrix vs the labeled lang column):
+    // stopword-marker ratio decides en vs other — the fixtures' text is
+    // synthetic English-ish for every label, so the heuristic's behavior
+    // (not its accuracy) is what's verified.
+    "tx03_lang_id" -> ((s, d) => {
+      val t = docs(s, d).select(col("lang"), tokens(col("text")).as("ws"))
+      t.select(col("lang"),
+          when(stopCount(col("ws")).cast("double") / size(col("ws")) >= 0.05, "en")
+            .otherwise("other").as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Document fingerprinting: md5 content hash + per-source uniqueness.
+    "tx04_fingerprints" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          fingerprint(col("text")).as("fp"),
+          substring(fingerprint(col("text")), 1, 8).as("fp_prefix"))
+    })
+  )
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "tx01_token_counts" -> """
+      SELECT source,
+             SUM(LEN(string_split(text, ' '))) AS sum_ws_tokens,
+             SUM(LEN(regexp_extract_all(text, '[a-z]+'))) AS sum_alpha_tokens,
+             SUM(LENGTH(text)) AS sum_chars,
+             COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY source""",
+
+    "tx02_quality_scores" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws, LENGTH(text) AS len
+        FROM documents),
+           m AS (
+        SELECT doc_id, lang,
+               LEN(ws) AS n_tokens,
+               CAST(len - LEN(ws) + 1 AS DOUBLE) / LEN(ws) AS avg_word_len,
+               CAST(LEN(list_filter(ws, w -> list_contains($stopList, w))) AS DOUBLE)
+                 / LEN(ws) AS stop_ratio,
+               CAST(LEN(list_distinct(ws)) AS DOUBLE) / LEN(ws) AS distinct_ratio
+        FROM t)
+      SELECT doc_id, lang, n_tokens, avg_word_len, stop_ratio, distinct_ratio,
+             ROUND(LEAST(1.0,
+               (stop_ratio * 2 + distinct_ratio) *
+                 (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE 0.5 END)), 6) AS quality
+      FROM m""",
+
+    "tx03_lang_id" -> s"""
+      WITH t AS (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+      SELECT lang,
+             CASE WHEN CAST(LEN(list_filter(ws, w -> list_contains($stopList, w))) AS DOUBLE)
+                       / LEN(ws) >= 0.05
+                  THEN 'en' ELSE 'other' END AS predicted,
+             COUNT(*) AS n_docs
+      FROM t
+      GROUP BY 1, 2""",
+
+    "tx04_fingerprints" -> """
+      SELECT doc_id, source,
+             md5(TRIM(LOWER(text))) AS fp,
+             SUBSTRING(md5(TRIM(LOWER(text))), 1, 8) AS fp_prefix
+      FROM documents"""
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the north-star ops that have no SQL oracle (the driver
+  * only rows-checks them): LSH candidate generation must not lose pairs.
+  */
+class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    org.apache.spark.shuffle.cloud.CloudShuffleEnv.reset()
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("north-star-spec")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  test("minhash LSH finds exactly the ground-truth jaccard pairs (recall 1 on fixtures)") {
+    val exact = rows("dd03_jaccard_pairs")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = rows("dd04_minhash_lsh_pairs")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates with exact jaccard, so no false positives;
+    // 16 bands × 4 rows ⇒ P(miss | jac≥0.9) ≈ 4e-8 per pair ⇒ equality here
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    assert(exact == lsh,
+      s"LSH missed ${exact.diff(lsh).size} of ${exact.size} ground-truth pairs")
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("simhash chunk blocking is lossless for hamming <= 3 (pigeonhole)") {
+    import graft.functions.TextOps
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.simhash(TextOps.tokenSet(col("text"))).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        TextOps.hamming64(col("a_sh"), col("b_sh")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = rows("dd05_simhash_pairs")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"blocking changed the result: missed ${brute.diff(blocked)}, extra ${blocked.diff(brute)}")
+  }
+
+  test("ann lsh candidates share buckets and score correctly; recall is reported") {
+    val exact = rows("ss01_cosine_topk")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = rows("ss02_ann_lsh_topk")
+    val annPairs = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.nonEmpty, "ANN should return candidates")
+    // per-query at most 5 results with ranks 1..k
+    val byQ = ann.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+    }
+    val recall = annPairs.intersect(exact).size.toDouble / exact.size
+    info(f"ANN recall@5 vs exact top-5: $recall%.2f")
+    // 8 hyperplanes over 10 queries on random data: recall is modest by
+    // design (single-probe); assert it's clearly better than chance.
+    // chance ≈ 5/490 per query ⇒ ~0.01; observed ≈ 0.3+ on the fixtures
+    assert(recall > 0.05, f"ANN recall $recall%.3f not better than chance")
+  }
+
+  test("exact dedup keeps one representative per fingerprint") {
+    val dd = rows("dd01_exact_dedup")
+    assert(dd.length == Tables.load(spark, sf, "documents")
+      .select(md5(trim(lower(col("text"))))).distinct().count().toInt)
+  }
+}
