@@ -1,0 +1,143 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Structured Streaming specs: feed micro-batches through MemoryStream,
+  * drain with processAllAvailable, assert on the memory sink. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    org.apache.spark.shuffle.cloud.CloudShuffleEnv.reset()
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-spec")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4.1's checksum checkpoint manager wedges under rapid
+      // micro-batches in local testing; plain checkpoint files suffice
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String, v: Double) =
+    Event(id, ts(minute), user, typ, v, "{}")
+
+  test("tumbling window counts with watermark") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamingOps.tumblingCounts(src.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update).start()
+    try {
+      src.addData(
+        ev(1, 5, 1, "click", 1.0), ev(2, 20, 1, "click", 2.0),
+        ev(3, 70, 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(rows == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(60), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamingOps.userSessions(src.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start() // session windows emit on close
+    try {
+      // user 1: events at 0 and 20 (one session), and at 120 (a new one)
+      src.addData(
+        ev(1, 0, 1, "click", 1.0), ev(2, 20, 1, "click", 1.0),
+        ev(3, 120, 1, "click", 1.0))
+      q.processAllAvailable()
+      // push the watermark past both sessions so Append emits them
+      src.addData(ev(4, 600, 99, "noise", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(2), r.getLong(3))).toList.sorted
+      assert(rows == List((1L, 1L), (1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes repeated event ids") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamingOps.dedupedEvents(src.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(ev(1, 0, 1, "click", 1.0), ev(1, 1, 1, "click", 1.0),
+        ev(2, 2, 1, "view", 2.0))
+      q.processAllAvailable()
+      src.addData(ev(1, 3, 1, "click", 1.0), ev(3, 4, 2, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState tracks running per-user stats") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamingOps.userRunningStats(src.toDS())
+      .writeStream.format("memory").queryName("userstats")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(ev(1, 0, 7, "click", 1.5), ev(2, 5, 7, "click", 2.5))
+      q.processAllAvailable()
+      src.addData(ev(3, 10, 7, "view", 4.0), ev(4, 10, 8, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("userstats").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch 1: user 7 → (2, 4.0); batch 2: user 7 → (3, 8.0), user 8 → (1, 1.0)
+      assert(rows == Set((7L, 2L, 4.0), (7L, 3L, 8.0), (8L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sliding windows produce overlapping buckets") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamingOps.slidingAverages(src.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Update).start()
+    try {
+      src.addData(ev(1, 50, 1, "click", 10.0))
+      q.processAllAvailable()
+      // a 1h window sliding by 15m covers minute 50 four times
+      val n = spark.table("sliding").collect().length
+      assert(n == 4, s"expected 4 overlapping windows, got $n")
+    } finally q.stop()
+  }
+}
