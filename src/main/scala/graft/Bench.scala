@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // warmup: JIT + codegen + FS metadata, so per-query numbers measure
+    // the queries rather than session startup
+    Tables.load(spark, sfDir, "lineitem").groupBy("l_returnflag").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

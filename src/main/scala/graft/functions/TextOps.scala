@@ -27,11 +27,11 @@ object TextOps {
     md5(trim(lower(text)).cast("binary"))
 
   /** MinHash signature: `perms` min-hash values over the token set, each
-    * permutation keyed by seed. One pass per permutation over the array —
-    * all codegen'd, no shuffle until the band explode. */
+    * permutation keyed by seed — the native
+    * [[org.apache.spark.sql.graft.MinHashSignature]] expression (one JVM
+    * loop per row instead of perms×tokens interpreted lambdas). */
   def minhashSignature(tokenSet: Column, perms: Int): Column =
-    transform(sequence(lit(0), lit(perms - 1)), p =>
-      array_min(transform(tokenSet, w => xxhash64(w, p))))
+    org.apache.spark.sql.graft.TextSignatures.minhashSignature(tokenSet, perms)
 
   /** LSH band keys for a MinHash signature: `bands` hashes, each over
     * `rowsPerBand` consecutive signature entries. Emitting (bandIdx,
@@ -43,23 +43,11 @@ object TextOps {
         xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bucket")))
 
   /** 64-bit SimHash of the token set: per-bit vote of each token's
-    * xxhash64 bits, packed into one long. Hamming distance between
-    * SimHashes approximates token-set dissimilarity. */
-  def simhash(tokenSet: Column): Column = {
-    val votes = aggregate(
-      tokenSet,
-      array_repeat(lit(0), 64),
-      (acc, w) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", xxhash64(w), j).bitwiseAND(lit(1L)) === 1L, lit(1))
-            .otherwise(lit(-1))),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
+    * xxhash64 bits, packed into one long — the native
+    * [[org.apache.spark.sql.graft.SimHash64]] expression. Hamming distance
+    * between SimHashes approximates token-set dissimilarity. */
+  def simhash(tokenSet: Column): Column =
+    org.apache.spark.sql.graft.TextSignatures.simhash64(tokenSet)
 
   /** Hamming distance between two packed 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -14,21 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Cast array<float> → array<double> (exact widening). */
+  /** Cast array<float> → array<double> (exact widening). Do this ONCE per
+    * row before any pairwise join — casting inside a pair expression would
+    * re-allocate per pair. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-order dot product of two double arrays. */
+  /** Sequential-order dot product of two `array<double>` columns — the
+    * native codegen'd [[ArrayDotProduct]] expression (a `zip_with` +
+    * `aggregate` formulation evaluates its lambdas interpreted and was the
+    * bottleneck of every O(pairs) similarity operator). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ArrayDotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two float-array embeddings. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a)
-    val bd = asDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  /** Cosine similarity of two float-array embeddings (casts per pair —
+    * prefer [[cosineD]] over pre-cast double arrays in pairwise joins). */
+  def cosine(a: Column, b: Column): Column = cosineD(asDouble(a), asDouble(b))
+
+  /** Cosine similarity of two pre-cast `array<double>` columns: three
+    * native dot products, fully inside whole-stage codegen. */
+  def cosineD(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Multi-table random-hyperplane LSH keys: `tables` independent hash
     * tables, each a `bitsPerTable`-bit sign pattern against deterministic

@@ -60,24 +60,47 @@ object Dedup {
       val perms = 64
       val bands = 16
       val rows = perms / bands
-      val w = docs(s, d)
-        .select(col("doc_id"), tokenSet(col("text")).as("ws"))
+      // 1. collapse docs with IDENTICAL token sets to one representative —
+      //    near-dup corpora are dominated by exact-set duplicate groups,
+      //    and Jaccard only depends on the set. LSH then runs on the
+      //    (much smaller) distinct-set space; duplicate-group pairs are
+      //    recovered at the end by pure integer joins.
+      val w = docs(s, d).select(col("doc_id"), tokenSet(col("text")).as("ws"))
+      val groups = w.groupBy(sort_array(col("ws")).as("sws"))
+        .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))
+      val reps = groups.select(col("rep_id"), col("sws").as("ws"))
         .withColumn("sig", minhashSignature(col("ws"), perms))
-      val banded = w.select(col("doc_id"), col("ws"),
+      // 2. ids-only through the band join + distinct: wide token arrays
+      //    must not ride through mega-buckets; re-join sets only to verify
+      val banded = reps.select(col("rep_id"),
           explode(minhashBands(col("sig"), bands, rows)).as("bk"))
-        .select(col("doc_id"), col("ws"),
+        .select(col("rep_id"),
           col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      val a = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("a_id"), col("ws").as("a_ws"))
-      val b = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("b_id"), col("ws").as("b_ws"))
-      a.join(b, Seq("band", "bucket"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_ws"), col("b_ws"))
+      val candidates = banded.select(col("band"), col("bucket"), col("rep_id").as("ra"))
+        .join(banded.select(col("band"), col("bucket"), col("rep_id").as("rb")),
+          Seq("band", "bucket"))
+        .filter(col("ra") < col("rb"))
+        .select(col("ra"), col("rb"))
         .distinct() // same pair can collide in several bands
-        .select(col("a_id"), col("b_id"),
+      val repPairs = candidates
+        .join(reps.select(col("rep_id").as("ra"), col("ws").as("a_ws")), "ra")
+        .join(reps.select(col("rep_id").as("rb"), col("ws").as("b_ws")), "rb")
+        .select(col("ra"), col("rb"),
           jaccard(col("a_ws"), col("b_ws")).as("jac"))
         .filter(col("jac") >= 0.9)
+      // 3. expand back to doc pairs: within-group pairs are exact dups
+      //    (jac = 1); cross-group pairs inherit the representative score
+      val membership = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
+      val withinGroup = membership.select(col("rep_id"), col("doc_id").as("a_id"))
+        .join(membership.select(col("rep_id"), col("doc_id").as("b_id")), "rep_id")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
+      val crossGroup = repPairs
+        .join(membership.select(col("rep_id").as("ra"), col("doc_id").as("x")), "ra")
+        .join(membership.select(col("rep_id").as("rb"), col("doc_id").as("y")), "rb")
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("jac"))
+      withinGroup.unionAll(crossGroup)
     }),
 
     // SimHash near-dup: 64-bit signature, blocking on 16-bit chunks (a
@@ -108,11 +131,12 @@ object Dedup {
     "dd06_embedding_neardup" -> ((s, d) => {
       import graft.functions.VectorOps
       val e = Tables.load(s, d, "embeddings").filter(col("vec_id") < 500)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
       a.join(b, col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          VectorOps.cosine(col("a_v"), col("b_v")).as("cos"))
+          VectorOps.cosineD(col("a_v"), col("b_v")).as("cos"))
         .filter(col("cos") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
     })

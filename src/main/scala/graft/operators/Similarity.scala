@@ -22,14 +22,14 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-5 neighbors for 10 query vectors by brute-force cosine.
     "ss01_cosine_topk" -> ((s, d) => {
-      val e = emb(s, d)
+      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
       val c = e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_v"))
+        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
       val scored = q.crossJoin(c)
         .select(col("q_id"), col("c_id"),
-          cosine(col("q_v"), col("c_v")).as("cos"))
+          cosineD(col("q_v"), col("c_v")).as("cos"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("c_id"))
       scored.select(col("q_id"), col("c_id"), col("cos"),
@@ -42,22 +42,23 @@ object Similarity {
     // a candidate meets a query if they collide in ANY table; exact cosine
     // re-ranks the (deduplicated) candidates.
     "ss02_ann_lsh_topk" -> ((s, d) => {
-      val keyed = emb(s, d).select(col("vec_id"), col("embedding"),
+      val keyed = emb(s, d).select(col("vec_id"),
+          asDouble(col("embedding")).as("v"),
           explode(rpLshTables(col("embedding"), tables = 8, bitsPerTable = 4)).as("tb"))
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"), col("v"),
           col("tb.table").as("table"), col("tb.bucket").as("bucket"))
       val q = keyed.filter(col("vec_id") < 10)
         .select(col("table"), col("bucket"), col("vec_id").as("q_id"),
-          col("embedding").as("q_v"))
+          col("v").as("q_v"))
       val c = keyed.filter(col("vec_id") >= 10)
         .select(col("table"), col("bucket"), col("vec_id").as("c_id"),
-          col("embedding").as("c_v"))
+          col("v").as("c_v"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("c_id"))
       q.join(c, Seq("table", "bucket"))
         .select(col("q_id"), col("c_id"), col("q_v"), col("c_v")).distinct()
         .select(col("q_id"), col("c_id"),
-          cosine(col("q_v"), col("c_v")).as("cos"))
+          cosineD(col("q_v"), col("c_v")).as("cos"))
         .select(col("q_id"), col("c_id"), col("cos"),
           row_number().over(w).as("rank"))
         .filter(col("rank") <= 5)

@@ -1,0 +1,103 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native signature expressions for the dedup operators.
+  *
+  * The higher-order-function formulations (`transform` + `array_min` /
+  * per-bit `zip_with` votes) evaluate one interpreted lambda per
+  * (token × permutation) — tens of millions of evals per partition at
+  * sf0.1. These expressions run the same arithmetic as a tight JVM loop
+  * over Spark's XXH64 primitive instead. They are per-row (not per-pair),
+  * so CodegenFallback's one virtual call per row is irrelevant — the win
+  * is eliminating the lambda interpreter from the inner loop.
+  */
+
+/** MinHash signature: `perms` min-hash values of a token array, permutation
+  * `p` keyed by xxhash64 seed `p`. Returns array<long> of length `perms`. */
+case class MinHashSignature(child: Expression, perms: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](perms)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes()
+        var p = 0
+        while (p < perms) {
+          val h = XXH64.hashUnsafeBytes(base, off, len, p)
+          if (h < out(p)) out(p) = h
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash: per-bit majority vote of each token's xxhash64 (seed 42,
+  * matching Spark's `xxhash64` default), packed into one long. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var packed = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) packed |= (1L << j)
+      j += 1
+    }
+    packed
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object TextSignatures {
+  def minhashSignature(tokens: Column, perms: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(tokens), perms))
+
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+}
