@@ -315,6 +315,35 @@ object Relational {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // --- UDF / UDAF / UDTF --------------------------------------------------
+    "q32_udaf_variance" -> ((s, d) => {
+      val varPop = udaf(graft.functions.Udfs.DecimalVarPop)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(varPop(col("l_quantity")).as("var_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q33_generator_bigrams" -> ((s, d) => {
+      // UDTF-style row generation: explode per-document bigram arrays
+      val ws = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("source"), explode(
+          transform(sequence(lit(2), size(ws)),
+            i => concat_ws(" ", element_at(ws, i - 1), element_at(ws, i)))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") >= 100)
+    }),
+
+    "q34_scalar_udf" -> ((s, d) => {
+      val band = udf(graft.functions.Udfs.balanceBand)
+      t(s, d, "customer")
+        .groupBy(band(col("c_acctbal")).as("band"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
     // --- array ops ---------------------------------------------------------
     "q31_embedding_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -565,6 +594,33 @@ object Relational {
              COUNT(DISTINCT user_id) AS n_users
       FROM events
       GROUP BY 1, 2""",
+
+    "q32_udaf_variance" -> """
+      SELECT l_returnflag,
+             (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+             / COUNT(*) AS var_qty,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag""",
+
+    "q33_generator_bigrams" -> """
+      WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           b AS (SELECT UNNEST(list_transform(range(2, LEN(ws) + 1),
+                        i -> ws[i - 1] || ' ' || ws[i])) AS bigram FROM w)
+      SELECT bigram, COUNT(*) AS n_occurrences
+      FROM b GROUP BY bigram
+      HAVING COUNT(*) >= 100""",
+
+    "q34_scalar_udf" -> """
+      SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS band,
+             COUNT(*) AS n_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer
+      GROUP BY 1""",
 
     "q31_embedding_stats" -> """
       SELECT label, COUNT(*) AS n_vecs,

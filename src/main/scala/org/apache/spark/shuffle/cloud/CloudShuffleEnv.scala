@@ -46,6 +46,10 @@ final class CloudShuffleEnv(val conf: SparkConf, val appId: String) extends Logg
   val checksumAlgorithm: String = conf.get("spark.shuffle.checksum.algorithm", "ADLER32")
   val validateChecksums: Boolean =
     conf.getBoolean(VALIDATE_KEY, defaultValue = false) && checksumEnabled
+  /** false = enumerate blocks by listing `.index` objects on the store
+    * instead of asking the driver's MapOutputTracker (debug fallback,
+    * reference `S3ShuffleReader.scala:182-195`). */
+  val useDriverTracker: Boolean = conf.getBoolean(TRACKER_KEY, defaultValue = true)
 
   private val hadoopConf = SparkHadoopUtil.get.newConfiguration(conf)
   val fs: FileSystem = FileSystem.get(URI.create(rootDir), hadoopConf)
@@ -97,6 +101,25 @@ final class CloudShuffleEnv(val conf: SparkConf, val appId: String) extends Logg
     new Path(s"$rootDir/$p/$appId")
   }
 
+  /** Map ids of every committed map output of a shuffle, discovered by
+    * listing `.index` objects across all folder prefixes in parallel. */
+  def listMapIds(shuffleId: Int): Seq[Long] = {
+    implicit val ec: ExecutionContext = CloudShuffleEnv.deleteEc
+    val pattern = ("shuffle_" + shuffleId + "_(\\d+)_\\d+\\.index").r
+    val fut = Future.sequence((0 until folderPrefixes).map { p =>
+      Future {
+        val dir = new Path(s"$rootDir/$p/$appId/$shuffleId")
+        try fs.listStatus(dir).toSeq.flatMap { st =>
+          st.getPath.getName match {
+            case pattern(mapId) => Some(mapId.toLong)
+            case _              => None
+          }
+        } catch { case _: java.io.FileNotFoundException => Seq.empty }
+      }
+    })
+    Await.result(fut, Duration.Inf).flatten.sorted
+  }
+
   private def parallelDelete(path: Int => Path): Unit = {
     implicit val ec: ExecutionContext = CloudShuffleEnv.deleteEc
     val fut = Future.sequence((0 until folderPrefixes).map { p =>
@@ -122,6 +145,7 @@ object CloudShuffleEnv extends Logging {
   val CLEANUP_KEY = "spark.shuffle.cloud.cleanup"
   val RELOCATE_KEY = "spark.shuffle.cloud.relocateMapStatus"
   val VALIDATE_KEY = "spark.shuffle.cloud.checksum.validate"
+  val TRACKER_KEY = "spark.shuffle.cloud.useDriverTracker"
 
   private val deleteEc: ExecutionContext =
     ExecutionContext.fromExecutorService(Executors.newCachedThreadPool { r =>

@@ -93,11 +93,33 @@ private[cloud] class CloudShuffleReader[K, C](
       throw new IllegalArgumentException(s"unexpected shuffle block $other")
   }
 
-  override def read(): Iterator[Product2[K, C]] = {
+  /** Block enumeration via object-store listing: every committed map
+    * output's `.index` object names the map id; reduce ranges come from
+    * the request. Sizes are unknown until the index is read — empty
+    * partitions drop out at slicing time. Only sound for full map ranges;
+    * partial ranges (AQE skew splits) need the tracker's map indexes. */
+  private def blocksByListing(): Seq[(BlockId, Long)] = {
+    val wholeMapRange = startMapIndex == 0 && endMapIndex == Int.MaxValue
+    if (!wholeMapRange) {
+      logWarning("cloud shuffle: listing mode cannot serve a partial map " +
+        "range; falling back to the driver tracker for this read")
+      return blocksByTracker()
+    }
+    env.listMapIds(handle.shuffleId).flatMap { mapId =>
+      (startPartition until endPartition).map { r =>
+        (ShuffleBlockId(handle.shuffleId, mapId, r): BlockId, 1L)
+      }
+    }
+  }
+
+  private def blocksByTracker(): Seq[(BlockId, Long)] = {
     val blocksByAddress = SparkEnv.get.mapOutputTracker.getMapSizesByExecutorId(
       handle.shuffleId, startMapIndex, endMapIndex, startPartition, endPartition)
-    val rawBlocks: Seq[(BlockId, Long)] =
-      blocksByAddress.flatMap(_._2.map(t => (t._1, t._2))).filter(_._2 > 0).toSeq
+    blocksByAddress.flatMap(_._2.map(t => (t._1, t._2))).filter(_._2 > 0).toSeq
+  }
+
+  override def read(): Iterator[Product2[K, C]] = {
+    val rawBlocks = if (env.useDriverTracker) blocksByTracker() else blocksByListing()
     val blocks = if (batchFetchAllowed) mergeContiguous(rawBlocks) else rawBlocks
 
     readMetrics.incRemoteBlocksFetched(blocks.size)

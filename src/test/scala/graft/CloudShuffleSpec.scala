@@ -203,6 +203,20 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("listing mode: block enumeration via the store instead of the tracker") {
+    withSc(baseConf("spark.shuffle.cloud.useDriverTracker" -> "false")) { sc =>
+      val n = 5000
+      val data = sc.parallelize(0 until n, 6).map(i => (i % 37, i.toLong))
+      val result = data.reduceByKey(_ + _, 5).collect().sortBy(_._1)
+      val expected = (0 until n).groupBy(_ % 37)
+        .map { case (k, vs) => (k, vs.map(_.toLong).sum) }.toSeq.sortBy(_._1)
+      assert(result.toSeq == expected)
+      // a sorted shuffle through listing mode too
+      assert(data.sortByKey(ascending = true, 4).keys.collect().toSeq ==
+        (0 until n).map(_ % 37).sorted)
+    }
+  }
+
   test("unregisterShuffle removes objects from the store") {
     val conf = baseConf()
     val root = conf.get("spark.shuffle.cloud.rootDir")
