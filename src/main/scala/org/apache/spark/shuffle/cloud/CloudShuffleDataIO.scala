@@ -42,8 +42,17 @@ private[cloud] class CloudExecutorComponents(conf: SparkConf)
 private[cloud] class CloudDriverComponents(conf: SparkConf)
     extends ShuffleDriverComponents with Logging {
 
-  override def initializeApplication(): java.util.Map[String, String] =
+  override def initializeApplication(): java.util.Map[String, String] = {
+    if (conf.getBoolean(CloudShuffleEnv.SPARK_FETCH_KEY, defaultValue = false)) {
+      // Spark-native fetch: the fallback block manager must exist in the
+      // master so reducers can resolve blocks relocated to it
+      val env = org.apache.spark.SparkEnv.get
+      org.apache.spark.storage.FallbackStorage.registerBlockManagerIfNeeded(
+        env.blockManager.master, conf,
+        org.apache.spark.deploy.SparkHadoopUtil.get.newConfiguration(conf))
+    }
     Collections.emptyMap()
+  }
 
   override def cleanupApplication(): Unit = {
     val env = CloudShuffleEnv.get()

@@ -28,8 +28,21 @@ final class CloudShuffleEnv(val conf: SparkConf, val appId: String) extends Logg
 
   import CloudShuffleEnv._
 
+  /** Spark-native fetch mode: blocks are written in Spark's
+    * FallbackStorage layout and read by Spark's own BlockStoreShuffleReader
+    * through the fallback block manager (reference:
+    * `S3ShuffleManager.scala:82-99`, `S3ShuffleDispatcher.scala:132-141`).
+    * rootDir is then the decommission fallback path by definition. */
+  val useSparkShuffleFetch: Boolean =
+    conf.getBoolean(SPARK_FETCH_KEY, defaultValue = false)
+
   val rootDir: String = {
-    val d = conf.get(ROOT_DIR_KEY, "file:///tmp/cloud-shuffle")
+    val d =
+      if (useSparkShuffleFetch)
+        conf.getOption("spark.storage.decommission.fallbackStorage.path")
+          .getOrElse(throw new IllegalArgumentException(
+            s"$SPARK_FETCH_KEY requires spark.storage.decommission.fallbackStorage.path"))
+      else conf.get(ROOT_DIR_KEY, "file:///tmp/cloud-shuffle")
     if (d.endsWith("/")) d.dropRight(1) else d
   }
   val folderPrefixes: Int = math.max(1, conf.getInt(PREFIXES_KEY, 10))
@@ -68,8 +81,14 @@ final class CloudShuffleEnv(val conf: SparkConf, val appId: String) extends Logg
 
   def blockPath(blockId: BlockId): Path = {
     val (shuffleId, mapId) = coords(blockId)
-    val prefix = (mapId % folderPrefixes + folderPrefixes) % folderPrefixes
-    new Path(s"$rootDir/$prefix/$appId/$shuffleId/${blockId.name}")
+    if (useSparkShuffleFetch) {
+      // Spark's FallbackStorage layout: appId/shuffleId/hash(name)/name
+      val hash = org.apache.spark.network.util.JavaUtils.nonNegativeHash(blockId.name)
+      new Path(s"$rootDir/$appId/$shuffleId/$hash/${blockId.name}")
+    } else {
+      val prefix = (mapId % folderPrefixes + folderPrefixes) % folderPrefixes
+      new Path(s"$rootDir/$prefix/$appId/$shuffleId/${blockId.name}")
+    }
   }
 
   /** Open a block for ranged reads; FS readahead is disabled because the
@@ -92,14 +111,18 @@ final class CloudShuffleEnv(val conf: SparkConf, val appId: String) extends Logg
 
   /** Delete every object of one shuffle — one future per folder prefix so
     * object-store deletes proceed in parallel. */
-  def deleteShuffle(shuffleId: Int): Unit = parallelDelete { p =>
-    new Path(s"$rootDir/$p/$appId/$shuffleId")
-  }
+  def deleteShuffle(shuffleId: Int): Unit =
+    if (useSparkShuffleFetch) deleteOne(new Path(s"$rootDir/$appId/$shuffleId"))
+    else parallelDelete(p => new Path(s"$rootDir/$p/$appId/$shuffleId"))
 
   /** Delete every object this application wrote. */
-  def deleteAppFolders(): Unit = parallelDelete { p =>
-    new Path(s"$rootDir/$p/$appId")
-  }
+  def deleteAppFolders(): Unit =
+    if (useSparkShuffleFetch) deleteOne(new Path(s"$rootDir/$appId"))
+    else parallelDelete(p => new Path(s"$rootDir/$p/$appId"))
+
+  private def deleteOne(p: Path): Unit =
+    try fs.delete(p, true)
+    catch { case e: Exception => logDebug(s"delete $p: $e") }
 
   /** Map ids of every committed map output of a shuffle, discovered by
     * listing `.index` objects across all folder prefixes in parallel. */
@@ -146,6 +169,7 @@ object CloudShuffleEnv extends Logging {
   val RELOCATE_KEY = "spark.shuffle.cloud.relocateMapStatus"
   val VALIDATE_KEY = "spark.shuffle.cloud.checksum.validate"
   val TRACKER_KEY = "spark.shuffle.cloud.useDriverTracker"
+  val SPARK_FETCH_KEY = "spark.shuffle.cloud.useSparkShuffleFetch"
 
   private val deleteEc: ExecutionContext =
     ExecutionContext.fromExecutorService(Executors.newCachedThreadPool { r =>

@@ -92,10 +92,23 @@ class CloudShuffleManager(conf: SparkConf) extends ShuffleManager with Logging {
       context: TaskContext,
       metrics: ShuffleReadMetricsReporter): ShuffleReader[K, C] = {
     val batch = SortShuffleManager.canUseBatchFetch(startPartition, endPartition, context)
-    new CloudShuffleReader(
-      handle.asInstanceOf[BaseShuffleHandle[K, _, C]],
-      startMapIndex, endMapIndex, startPartition, endPartition,
-      context, metrics, shouldBatchFetch = batch)
+    if (CloudShuffleEnv.get().useSparkShuffleFetch) {
+      // Spark-native read path: blocks live at the fallback block manager
+      // (MapStatus relocation) and Spark's own reader fetches them through
+      // FallbackStorage from the store
+      val env = SparkEnv.get
+      val blocksByAddress = env.mapOutputTracker.getMapSizesByExecutorId(
+        handle.shuffleId, startMapIndex, endMapIndex, startPartition, endPartition)
+      new BlockStoreShuffleReader(
+        handle.asInstanceOf[BaseShuffleHandle[K, _, C]], blocksByAddress,
+        context, metrics, env.serializerManager, env.blockManager,
+        env.mapOutputTracker, shouldBatchFetch = batch)
+    } else {
+      new CloudShuffleReader(
+        handle.asInstanceOf[BaseShuffleHandle[K, _, C]],
+        startMapIndex, endMapIndex, startPartition, endPartition,
+        context, metrics, shouldBatchFetch = batch)
+    }
   }
 
   override def unregisterShuffle(shuffleId: Int): Boolean = {

@@ -217,6 +217,29 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("useSparkShuffleFetch: Spark-native read path via FallbackStorage") {
+    val root = Files.createTempDirectory("cloud-shuffle-fallback").toUri.toString
+    val conf = baseConf(
+      "spark.shuffle.cloud.useSparkShuffleFetch" -> "true",
+      "spark.storage.decommission.enabled" -> "true",
+      "spark.storage.decommission.shuffleBlocks.enabled" -> "true",
+      "spark.storage.decommission.fallbackStorage.path" -> root)
+    withSc(conf) { sc =>
+      val n = 4000
+      val data = sc.parallelize(0 until n, 5).map(i => (i % 23, i.toLong))
+      val result = data.foldByKey(0L, 4)(_ + _).collect().sortBy(_._1)
+      val expected = (0 until n).groupBy(_ % 23)
+        .map { case (k, vs) => (k, vs.map(_.toLong).sum) }.toSeq.sortBy(_._1)
+      assert(result.toSeq == expected)
+      // blocks must have landed in the FallbackStorage layout
+      val rootPath = java.nio.file.Paths.get(new java.net.URI(root))
+      val files = Files.walk(rootPath).iterator()
+      var sawData = false
+      files.forEachRemaining(p => if (p.toString.endsWith(".data")) sawData = true)
+      assert(sawData, "expected data blobs under the fallback path")
+    }
+  }
+
   test("unregisterShuffle removes objects from the store") {
     val conf = baseConf()
     val root = conf.get("spark.shuffle.cloud.rootDir")
