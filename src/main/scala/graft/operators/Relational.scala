@@ -344,6 +344,57 @@ object Relational {
           dsum(col("c_acctbal")).as("sum_bal"))
     }),
 
+    // --- percentiles / median ----------------------------------------------
+    "q35_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+          percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // --- terasort-style global sort (the reference's heaviest non-SQL
+    // benchmark shape; no SQL oracle — self-validating like TeraValidate) --
+    "ts01_terasort" -> ((s, d) => {
+      import s.implicits._
+      // 2M deterministic records: range-partition + sort-within on a
+      // pseudo-random key = the TeraSort plan, through the active shuffle
+      // manager. mapPartitions validates order in the same pass, so the
+      // sort cannot be optimized away (TeraValidate's job, fused).
+      val n = 2000000L
+      val recs = s.range(n).select(xxhash64(col("id")).as("key"))
+      val sorted = recs.repartitionByRange(32, col("key"))
+        .sortWithinPartitions(col("key"))
+      val partStats = sorted.as[Long].mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        if (!it.hasNext) Iterator.empty
+        else {
+          var prev = Long.MinValue
+          var cnt = 0L
+          var ok = true
+          var first = Long.MaxValue
+          while (it.hasNext) {
+            val k = it.next()
+            if (cnt == 0) first = k
+            if (k < prev) ok = false
+            prev = k
+            cnt += 1
+          }
+          Iterator.single((pid, first, prev, cnt, ok))
+        }
+      }.toDF("pid", "pmin", "pmax", "cnt", "ok")
+      val w = Window.orderBy(col("pid")) // ≤32 rows: tiny single-task window
+      partStats
+        .select(col("cnt"), col("ok"),
+          (col("pmin") >= coalesce(lag(col("pmax"), 1).over(w), lit(Long.MinValue)))
+            .as("boundary_ok"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          min(col("ok").cast("int")).as("within_sorted"),
+          min(col("boundary_ok").cast("int")).as("globally_sorted"))
+    }),
+
     // --- array ops ---------------------------------------------------------
     "q31_embedding_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -621,6 +672,15 @@ object Relational {
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       FROM customer
       GROUP BY 1""",
+
+    "q35_percentiles" -> """
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS median_qty,
+             quantile_cont(l_extendedprice, 0.25) AS p25_price,
+             quantile_cont(l_extendedprice, 0.75) AS p75_price,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag""",
 
     "q31_embedding_stats" -> """
       SELECT label, COUNT(*) AS n_vecs,

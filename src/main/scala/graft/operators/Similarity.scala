@@ -65,6 +65,44 @@ object Similarity {
         .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // IVF-style ANN: coarse quantizer = per-label mean vectors (stand-in
+    // for a trained k-means codebook); every vector is assigned to its
+    // NEAREST centroid cell; queries probe the 2 nearest cells and exact
+    // cosine re-ranks the cell members. At 100 TB the cells hash-partition
+    // and only nprobe/k of the data is touched per query.
+    "ss04_ann_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // codebook: mean vector per label (dimension-wise, then re-assembled)
+      val cents = emb(s, d)
+        .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+          st => st.getField("cx")).as("cv"))
+        .select(col("label").as("cell"), col("cv"))
+      val bc = broadcast(cents)
+      def nearestCells(src: DataFrame, idCol: String, n: Int): DataFrame = {
+        val w = Window.partitionBy(col(idCol)).orderBy(col("cdist").desc, col("cell"))
+        src.crossJoin(bc)
+          .select(col(idCol), col("v"), col("cell"),
+            cosineD(col("v"), col("cv")).as("cdist"))
+          .select(col(idCol), col("v"), col("cell"),
+            row_number().over(w).as("crank"))
+          .filter(col("crank") <= n)
+      }
+      val cands = nearestCells(e.filter(col("vec_id") >= 10), "vec_id", 1)
+        .select(col("cell"), col("vec_id").as("c_id"), col("v").as("c_v"))
+      val qs = nearestCells(e.filter(col("vec_id") < 10), "vec_id", 2)
+        .select(col("cell"), col("vec_id").as("q_id"), col("v").as("q_v"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      qs.join(cands, "cell")
+        .select(col("q_id"), col("c_id"), col("q_v"), col("c_v")).distinct()
+        .select(col("q_id"), col("c_id"), cosineD(col("q_v"), col("c_v")).as("cos"))
+        .select(col("q_id"), col("c_id"), col("cos"), row_number().over(w).as("rank"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
+    }),
+
     // Per-label centroid norms — a coarse-quantization (IVF-style) summary:
     // centroid = mean vector per label, computed dimension-wise via
     // posexplode + re-aggregation (pure shuffle ops, linear scale).

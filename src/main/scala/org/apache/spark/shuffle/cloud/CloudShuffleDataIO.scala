@@ -113,22 +113,45 @@ private[cloud] class CloudMapOutputWriter(env: CloudShuffleEnv, shuffleId: Int,
   private final class PartitionWriter(partitionId: Int) extends ShufflePartitionWriter {
     private var count = 0L
 
+    private def recordBytes(n: Long): Unit = {
+      count += n
+      partitionLengths(partitionId) = count
+      bytesWritten += n
+    }
+
     override def openStream(): OutputStream = new OutputStream {
       private val under = ensureStream()
       override def write(b: Int): Unit = {
         under.write(b)
-        count += 1
-        partitionLengths(partitionId) = count
-        bytesWritten += 1
+        recordBytes(1)
       }
       override def write(b: Array[Byte], off: Int, len: Int): Unit = {
         under.write(b, off, len)
-        count += len
-        partitionLengths(partitionId) = count
-        bytesWritten += len
+        recordBytes(len)
       }
       override def flush(): Unit = {} // object-store writes are commit-once
       override def close(): Unit = {} // shared stream closes at commit
+    }
+
+    /** Channel path: UnsafeShuffleWriter merges spill files with
+      * `FileChannel.transferTo` when the partition writer offers a
+      * channel — fewer byte[] hops than the stream path. */
+    override def openChannelWrapper(): Optional[WritableByteChannelWrapper] = {
+      ensureStream()
+      Optional.of(new WritableByteChannelWrapper {
+        private val inner = new java.nio.channels.WritableByteChannel {
+          private val under = java.nio.channels.Channels.newChannel(stream)
+          override def write(src: java.nio.ByteBuffer): Int = {
+            val n = under.write(src)
+            recordBytes(n)
+            n
+          }
+          override def isOpen: Boolean = true
+          override def close(): Unit = {} // shared stream closes at commit
+        }
+        override def channel(): java.nio.channels.WritableByteChannel = inner
+        override def close(): Unit = {}
+      })
     }
 
     override def getNumBytesWritten: Long = count

@@ -81,6 +81,22 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall > 0.05, f"ANN recall $recall%.3f not better than chance")
   }
 
+  test("ivf ann probes cells and reports recall") {
+    val exact = rows("ss01_cosine_topk")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = rows("ss04_ann_ivf_topk")
+    assert(ivf.nonEmpty)
+    val byQ = ivf.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+    }
+    val recall = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(exact).size.toDouble / exact.size
+    info(f"IVF recall@5 vs exact top-5: $recall%.2f")
+    assert(recall > 0.05, f"IVF recall $recall%.3f not better than chance")
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val dd = rows("dd01_exact_dedup")
     assert(dd.length == Tables.load(spark, sf, "documents")
