@@ -17,9 +17,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
 
-  override def beforeAll(): Unit = {
+  private def makeSession(): SparkSession = {
     org.apache.spark.shuffle.cloud.CloudShuffleEnv.reset()
-    spark = SparkSession.builder()
+    val s = SparkSession.builder()
       .master("local[4]")
       .appName("streaming-spec")
       .config("spark.ui.enabled", "false")
@@ -29,8 +29,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // micro-batches in local testing; plain checkpoint files suffice
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
   }
+
+  override def beforeAll(): Unit = spark = makeSession()
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
@@ -122,6 +125,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // batch 1: user 7 → (2, 4.0); batch 2: user 7 → (3, 8.0), user 8 → (1, 1.0)
       assert(rows == Set((7L, 2L, 4.0), (7L, 3L, 8.0), (8L, 1L, 1.0)))
     } finally q.stop()
+  }
+
+  test("stateful streaming shuffles ride the cloud shuffle plugin") {
+    // separate session: shuffle manager is fixed at context creation
+    spark.stop()
+    org.apache.spark.shuffle.cloud.CloudShuffleEnv.reset()
+    val root = java.nio.file.Files.createTempDirectory("stream-shuffle").toUri.toString
+    val ss = SparkSession.builder()
+      .master("local[4]").appName("streaming-plugin-spec")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.shuffle.manager",
+        "org.apache.spark.shuffle.cloud.CloudShuffleManager")
+      .config("spark.shuffle.sort.io.plugin.class",
+        "org.apache.spark.shuffle.cloud.CloudShuffleDataIO")
+      .config("spark.shuffle.cloud.rootDir", root)
+      .getOrCreate()
+    ss.sparkContext.setLogLevel("WARN")
+    try {
+      import ss.implicits._
+      implicit val sqlCtx = ss.sqlContext
+      val src = MemoryStream[Event]
+      val q = StreamingOps.tumblingCounts(src.toDF(), "10 minutes", "1 hour")
+        .writeStream.format("memory").queryName("tumbling_plugin")
+        .outputMode(OutputMode.Update).start()
+      try {
+        src.addData(ev(1, 5, 1, "click", 1.0), ev(2, 20, 1, "click", 2.0))
+        q.processAllAvailable()
+        val rows = ss.table("tumbling_plugin").collect()
+        assert(rows.map(r => (r.getString(2), r.getLong(3))).toSet ==
+          Set(("click", 2L)))
+        // the micro-batch's stateful shuffle landed on the store
+        val rootPath = java.nio.file.Paths.get(new java.net.URI(root))
+        val sawShuffle = java.nio.file.Files.walk(rootPath).iterator()
+        var found = false
+        sawShuffle.forEachRemaining(p =>
+          if (p.toString.contains("shuffle_")) found = true)
+        assert(found, "expected shuffle objects under the cloud root")
+      } finally q.stop()
+    } finally {
+      ss.stop()
+      spark = makeSession() // restore the shared session for later tests
+    }
   }
 
   test("sliding windows produce overlapping buckets") {
