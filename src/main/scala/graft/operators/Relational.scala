@@ -344,6 +344,31 @@ object Relational {
           dsum(col("c_acctbal")).as("sum_bal"))
     }),
 
+    // --- pivot -------------------------------------------------------------
+    "q36_pivot" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        // empty combos: pivot yields null, the oracle's FILTER count yields 0
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
+    // --- approximate sketches (no SQL oracle: estimates are engine-
+    // specific; SketchSpec bounds them against exact counts) ---------------
+    "q37_approx_sketches" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // --- percentiles / median ----------------------------------------------
     "q35_percentiles" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -672,6 +697,14 @@ object Relational {
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       FROM customer
       GROUP BY 1""",
+
+    "q36_pivot" -> """
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders
+      GROUP BY o_orderpriority""",
 
     "q35_percentiles" -> """
       SELECT l_returnflag,
