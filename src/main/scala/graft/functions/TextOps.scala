@@ -12,14 +12,16 @@ object TextOps {
   /** Whitespace tokens (the fixtures are single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct token set — the unit for word-level Jaccard / MinHash. */
-  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+  /** Distinct token set — the unit for word-level Jaccard / MinHash.
+    * Sorted canonical form: exact-dup grouping keys on it directly, and
+    * the merge-walk Jaccard expression requires it. */
+  def tokenSet(text: Column): Column = sort_array(array_distinct(tokens(text)))
 
-  /** Exact Jaccard similarity of two pre-distinct arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
-  }
+  /** Exact Jaccard similarity of two sorted pre-distinct arrays — the
+    * native merge-walk [[org.apache.spark.sql.graft.SortedArrayJaccard]]
+    * (array_intersect allocates a hash set per pair). */
+  def jaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.SortedArrayJaccard(a, b)
 
   /** Content fingerprint: md5 of the normalized text. Deterministic and
     * identical in any engine — the exact-dedup key. */

@@ -48,23 +48,13 @@ object VectorOps {
     * recall, linearly more candidate volume: the standard LSH trade.
     */
   def rpLshTables(v: Column, tables: Int, bitsPerTable: Int, seed: Int = 42): Column = {
-    require(tables * bitsPerTable <= 63, "total planes must fit a long")
-    val vd = asDouble(v)
-    // component (p, j) of plane p: xxhash64-derived uniform in [-1, 1]
-    def planeComponent(p: Column, j: Column): Column =
-      (pmod(xxhash64(lit(seed), p, j), lit(2000001L)) - lit(1000000L)) / lit(1000000.0)
-    transform(sequence(lit(0), lit(tables - 1)), t => {
-      val bits = transform(sequence(lit(0), lit(bitsPerTable - 1)), b => {
-        val p = t * bitsPerTable + b
-        val prods = zip_with(
-          vd,
-          sequence(lit(0), size(vd) - 1),
-          (x, j) => x * planeComponent(p, j))
-        val d = aggregate(prods, lit(0.0), (acc, x) => acc + x)
-        when(d >= 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
-      })
-      struct(t.as("table"),
-        aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b)).as("bucket"))
-    })
+    // native per-row expression (the HOF formulation ran every element ×
+    // plane product through the lambda interpreter)
+    val buckets = org.apache.spark.sql.graft.RandomHyperplaneLsh(
+      asDouble(v), tables, bitsPerTable, seed.toLong)
+    zip_with(
+      sequence(lit(0), lit(tables - 1)),
+      buckets,
+      (t, bucket) => struct(t.as("table"), bucket.as("bucket")))
   }
 }

@@ -66,9 +66,9 @@ object Dedup {
       //    (much smaller) distinct-set space; duplicate-group pairs are
       //    recovered at the end by pure integer joins.
       val w = docs(s, d).select(col("doc_id"), tokenSet(col("text")).as("ws"))
-      val groups = w.groupBy(sort_array(col("ws")).as("sws"))
+      val groups = w.groupBy(col("ws")) // tokenSet is already sorted-canonical
         .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))
-      val reps = groups.select(col("rep_id"), col("sws").as("ws"))
+      val reps = groups.select(col("rep_id"), col("ws"))
         .withColumn("sig", minhashSignature(col("ws"), perms))
       // 2. ids-only through the band join + distinct: wide token arrays
       //    must not ride through mega-buckets; re-join sets only to verify

@@ -42,21 +42,23 @@ object Similarity {
     // a candidate meets a query if they collide in ANY table; exact cosine
     // re-ranks the (deduplicated) candidates.
     "ss02_ann_lsh_topk" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // ids-only through the bucket join + distinct (vector arrays must
+      // not ride the candidate shuffle); vectors re-join for scoring
       val keyed = emb(s, d).select(col("vec_id"),
-          asDouble(col("embedding")).as("v"),
           explode(rpLshTables(col("embedding"), tables = 8, bitsPerTable = 4)).as("tb"))
-        .select(col("vec_id"), col("v"),
+        .select(col("vec_id"),
           col("tb.table").as("table"), col("tb.bucket").as("bucket"))
       val q = keyed.filter(col("vec_id") < 10)
-        .select(col("table"), col("bucket"), col("vec_id").as("q_id"),
-          col("v").as("q_v"))
+        .select(col("table"), col("bucket"), col("vec_id").as("q_id"))
       val c = keyed.filter(col("vec_id") >= 10)
-        .select(col("table"), col("bucket"), col("vec_id").as("c_id"),
-          col("v").as("c_v"))
+        .select(col("table"), col("bucket"), col("vec_id").as("c_id"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("c_id"))
       q.join(c, Seq("table", "bucket"))
-        .select(col("q_id"), col("c_id"), col("q_v"), col("c_v")).distinct()
+        .select(col("q_id"), col("c_id")).distinct()
+        .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), "q_id")
+        .join(e.select(col("vec_id").as("c_id"), col("v").as("c_v")), "c_id")
         .select(col("q_id"), col("c_id"),
           cosineD(col("q_v"), col("c_v")).as("cos"))
         .select(col("q_id"), col("c_id"), col("cos"),
