@@ -344,6 +344,28 @@ object Relational {
           dsum(col("c_acctbal")).as("sum_bal"))
     }),
 
+    // --- q67-shaped composite: rollup + window rank over aggregated sales
+    // (the reference's heaviest TPC-DS benchmark, 66 GB shuffle at SF1000:
+    // examples/run_benchmarks.sh:33) ---------------------------------------
+    "q38_rollup_rank" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val part = broadcast(t(s, d, "part"))
+      val sales = li.join(part, col("l_partkey") === col("p_partkey"))
+        .rollup(col("p_brand"), col("p_type"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sumsales"),
+          count(lit(1)).as("n_items"),
+          grouping(col("p_brand")).cast("int").as("g_brand"),
+          grouping(col("p_type")).cast("int").as("g_type"))
+      // explicit null ordering: Spark's asc default is NULLS FIRST,
+      // DuckDB's is NULLS LAST — pin it
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("sumsales").desc_nulls_last, col("p_type").asc_nulls_last)
+      sales.select(col("p_brand"), col("p_type"), col("sumsales"),
+          col("n_items"), col("g_brand"), col("g_type"),
+          rank().over(w).as("rk"))
+        .filter(col("rk") <= 5)
+    }),
+
     // --- pivot -------------------------------------------------------------
     "q36_pivot" -> ((s, d) => {
       t(s, d, "orders")
@@ -697,6 +719,23 @@ object Relational {
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       FROM customer
       GROUP BY 1""",
+
+    "q38_rollup_rank" -> """
+      WITH sales AS (
+        SELECT p_brand, p_type,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sumsales,
+               COUNT(*) AS n_items,
+               CAST(GROUPING(p_brand) AS INT) AS g_brand,
+               CAST(GROUPING(p_type) AS INT) AS g_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY ROLLUP (p_brand, p_type))
+      SELECT * FROM (
+        SELECT p_brand, p_type, sumsales, n_items, g_brand, g_type,
+               RANK() OVER (PARTITION BY p_brand
+                            ORDER BY sumsales DESC NULLS LAST,
+                                     p_type ASC NULLS LAST) AS rk
+        FROM sales)
+      WHERE rk <= 5""",
 
     "q36_pivot" -> """
       SELECT o_orderpriority,

@@ -240,6 +240,26 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("concurrent jobs share the plugin safely") {
+    withSc(baseConf()) { sc =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val futures = (0 until 8).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = {
+              val shift = i // local so the closure doesn't capture `this`
+              sc.parallelize(0 until 20000, 4)
+                .map(x => ((x + shift) % 101, x.toLong))
+                .reduceByKey(_ + _, 3)
+                .count()
+            }
+          })
+        }
+        futures.foreach(f => assert(f.get() == 101L))
+      } finally pool.shutdown()
+    }
+  }
+
   test("unregisterShuffle removes objects from the store") {
     val conf = baseConf()
     val root = conf.get("spark.shuffle.cloud.rootDir")
