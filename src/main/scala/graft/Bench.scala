@@ -7,11 +7,17 @@ object Bench {
     // warmup: JIT + codegen + FS metadata, so per-query numbers measure
     // the queries rather than session startup
     Tables.load(spark, sfDir, "lineitem").groupBy("l_returnflag").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // two timed runs per query, report the min: the rig shares the host
+    // with other load, and min-of-N measures the query rather than the
+    // neighbors (first run also absorbs per-query plan compilation)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

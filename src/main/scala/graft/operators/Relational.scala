@@ -410,7 +410,7 @@ object Relational {
       // pseudo-random key = the TeraSort plan, through the active shuffle
       // manager. mapPartitions validates order in the same pass, so the
       // sort cannot be optimized away (TeraValidate's job, fused).
-      val n = 2000000L
+      val n = 8000000L
       val recs = s.range(n).select(xxhash64(col("id")).as("key"))
       val sorted = recs.repartitionByRange(32, col("key"))
         .sortWithinPartitions(col("key"))
