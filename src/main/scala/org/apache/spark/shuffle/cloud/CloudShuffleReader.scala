@@ -129,7 +129,13 @@ private[cloud] class CloudShuffleReader[K, C](
       blocks.iterator.flatMap { case (blockId, _) =>
         val (shuffleId, mapId, rs, re) = reduceRange(blockId)
         val offsets = CloudShuffleIndex.readIndex(env, shuffleId, mapId)
-        val (from, to) = (offsets(rs), offsets(math.min(re, offsets.length - 1)))
+        if (re >= offsets.length) {
+          // a silent clamp here would drop data — fail loudly instead
+          throw new org.apache.spark.SparkException(
+            s"cloud shuffle: ${blockId.name} asks for reduce range [$rs, $re) " +
+              s"but the index covers only ${offsets.length - 1} partitions")
+        }
+        val (from, to) = (offsets(rs), offsets(re))
         if (to <= from) None
         else {
           readMetrics.incRemoteBytesRead(to - from)
