@@ -366,6 +366,32 @@ object Relational {
         .filter(col("rk") <= 5)
     }),
 
+    // --- as-of join (operator Spark lacks natively; composed per the
+    // extension ladder: union + forward-fill window = one shuffle on
+    // (user_id), no point-in-time self-join blowup) ------------------------
+    "q39_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      // latest click per (user, ts) so the as-of match is unambiguous
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val tagged = clicks.select(col("user_id"), col("ts"),
+          lit(0).as("kind"), col("click_id"), lit(null).cast("long").as("purchase_id"))
+        .unionAll(purchases.select(col("user_id"), col("ts"),
+          lit(1).as("kind"), lit(null).cast("long").as("click_id"), col("purchase_id")))
+      // clicks sort before purchases at equal ts: c.ts <= p.ts matches
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("click_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .select(col("user_id"), col("ts"), col("kind"), col("purchase_id"),
+          last(col("click_id"), ignoreNulls = true).over(w).as("asof_click_id"))
+        .filter(col("kind") === 1)
+        .select(col("purchase_id"), col("user_id"), col("asof_click_id"))
+    }),
+
     // --- pivot -------------------------------------------------------------
     "q36_pivot" -> ((s, d) => {
       t(s, d, "orders")
@@ -736,6 +762,19 @@ object Relational {
                                      p_type ASC NULLS LAST) AS rk
         FROM sales)
       WHERE rk <= 5""",
+
+    "q39_asof_join" -> """
+      WITH clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts),
+           purchases AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id, c.click_id AS asof_click_id
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts""",
 
     "q36_pivot" -> """
       SELECT o_orderpriority,
