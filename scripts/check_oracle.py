@@ -29,7 +29,7 @@ def canon(rows, cols):
 
 def norm(v):
     if isinstance(v, float):
-        return v
+        return None if math.isnan(v) else v
     if hasattr(v, "__float__") and type(v).__name__ == "Decimal":
         return float(v)
     if isinstance(v, list):
@@ -61,10 +61,13 @@ def main():
             got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_cols = got_rel.columns
-            got_rows = got_rel.fetchall()
+            got_rows = [tuple(r) for r in got_rel.df().itertuples(index=False)]
             exp_rel = con.sql(sql)
             exp_cols = exp_rel.columns
-            exp_rows = exp_rel.fetchall()
+            # .df() mirrors the driver's pandas fetch: DuckDB HUGEINT (SUM of
+            # any integer type) becomes float64 and would hash-mismatch the
+            # Spark BIGINT — fetching the same way catches that locally.
+            exp_rows = [tuple(r) for r in exp_rel.df().itertuples(index=False)]
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
@@ -79,7 +82,10 @@ def main():
             print(f"FAIL {name}: rows {len(gr)} vs {len(er)}")
             n_fail += 1
             continue
-        exact = gr == er
+        # stringified compare mirrors the driver's value-hash: int 7949 vs
+        # float 7949.0 are == in Python but hash differently as strings
+        exact = [tuple(str(x) for x in r) for r in gr] == \
+            [tuple(str(x) for x in r) for r in er]
         if exact:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
@@ -91,8 +97,10 @@ def main():
                 bad = (i, g, e)
                 break
         if bad is None:
-            print(f"NEAR {name}: float-noise only ({len(gr)} rows) "
-                  f"— first diff {next((g, e) for g, e in zip(gr, er) if g != e)}")
+            diff = next(((g, e) for g, e in zip(gr, er)
+                         if tuple(map(str, g)) != tuple(map(str, e))), None)
+            print(f"NEAR {name}: type/float noise only ({len(gr)} rows) "
+                  f"— first diff {diff}")
             n_fail += 1
         else:
             print(f"FAIL {name}: row {bad[0]}\n  got {bad[1]}\n  exp {bad[2]}")

@@ -13,10 +13,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case t: Throwable =>
+            // a broken query must read as broken, not fast: sentinel -1
+            System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+            -1.0
+        }
       }
-      name -> times.min
+      // any failed run poisons the query's number
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -81,7 +81,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm01_binary_metadata" -> """
       SELECT source, COUNT(*) AS n_media,
-             SUM(OCTET_LENGTH(CAST(text AS BLOB))) AS total_bytes,
+             CAST(SUM(OCTET_LENGTH(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
              COUNT(DISTINCT md5(text)) AS n_distinct,
              MAX(OCTET_LENGTH(CAST(text AS BLOB))) AS max_bytes
       FROM documents
@@ -99,12 +99,12 @@ object Multimodal {
         FROM documents),
            g AS (
         SELECT doc_id, n_bytes,
-               byte_sum % 1000 AS byte_sum_mod,
-               (byte_sum % 640) + 1 AS width,
-               (byte_sum % 480) + 1 AS height
+               CAST(byte_sum % 1000 AS BIGINT) AS byte_sum_mod,
+               CAST((byte_sum % 640) + 1 AS BIGINT) AS width,
+               CAST((byte_sum % 480) + 1 AS BIGINT) AS height
         FROM f)
       SELECT byte_sum_mod % 10 AS bucket, COUNT(*) AS n_media,
-             SUM(n_bytes) AS sum_bytes,
+             CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
              MIN(width) AS min_width,
              MAX(height) AS max_height
       FROM g

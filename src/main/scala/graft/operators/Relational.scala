@@ -689,7 +689,7 @@ object Relational {
 
     "q23_json_extract" -> """
       SELECT event_type,
-             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              COUNT(json_extract_string(props, '$.k')) AS n_events
       FROM events
       GROUP BY event_type""",
@@ -703,7 +703,7 @@ object Relational {
 
     "q29_conditional_agg" -> """
       SELECT c_mktsegment,
-             SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative,
+             CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
              MAX(c_acctbal) AS max_bal,
              MIN(c_acctbal) AS min_bal,

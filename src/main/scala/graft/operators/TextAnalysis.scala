@@ -86,9 +86,9 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "tx01_token_counts" -> """
       SELECT source,
-             SUM(LEN(string_split(text, ' '))) AS sum_ws_tokens,
-             SUM(LEN(regexp_extract_all(text, '[a-z]+'))) AS sum_alpha_tokens,
-             SUM(LENGTH(text)) AS sum_chars,
+             CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+             CAST(SUM(LEN(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_alpha_tokens,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
              COUNT(*) AS n_docs
       FROM documents
       GROUP BY source""",

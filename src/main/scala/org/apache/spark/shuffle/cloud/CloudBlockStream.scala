@@ -25,6 +25,10 @@ private[cloud] class CloudBlockStream(env: CloudShuffleEnv,
 
   def size: Long = end - start
 
+  /** Bytes not yet consumed — `size` is the constant range width, this is
+    * the live cursor; exhaustion probes must use this one. */
+  def remainingBytes: Long = end - pos
+
   private def remaining: Long = end - pos
 
   override def read(): Int = {

@@ -101,9 +101,11 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
         val idx = nextIdx.getAndIncrement()
         if (idx >= total) return
         val (blockId, ranged, wrapped) = blocks(idx)
+        val toBuffer = math.min(ranged.size, env.maxBufferSizeTask)
+        var acquired = false
         try {
-          val toBuffer = math.min(ranged.size, env.maxBufferSizeTask)
           acquire(toBuffer)
+          acquired = true
           val t0 = System.nanoTime()
           val buf = readUpTo(wrapped, toBuffer)
           recordLatency(System.nanoTime() - t0)
@@ -119,7 +121,10 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
           queue.put(Right(Fetched(blockId, stream, toBuffer)))
         } catch {
           case t: Throwable =>
-            release(math.min(ranged.size, env.maxBufferSizeTask))
+            // only give back budget that was actually taken — an exception
+            // inside acquire() itself (e.g. interrupt while parked) must not
+            // drive bufferedBytes negative and loosen the cap for others
+            if (acquired) release(toBuffer)
             queue.put(Left(t))
             return
         }
@@ -131,7 +136,7 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
     * don't, so probe conservatively: only a raw CloudBlockStream can be
     * declared done early. */
   private def isExhausted(s: InputStream): Boolean = s match {
-    case c: CloudBlockStream => c.size <= 0
+    case c: CloudBlockStream => c.remainingBytes <= 0
     case _                   => false
   }
 

@@ -97,7 +97,15 @@ private[cloud] class CloudShuffleReader[K, C](
     * output's `.index` object names the map id; reduce ranges come from
     * the request. Sizes are unknown until the index is read — empty
     * partitions drop out at slicing time. Only sound for full map ranges;
-    * partial ranges (AQE skew splits) need the tracker's map indexes. */
+    * partial ranges (AQE skew splits) need the tracker's map indexes.
+    *
+    * Listing cannot tell duplicate committed attempts of the same map
+    * apart (mapId is the task ATTEMPT id): speculation or a stage retry
+    * that commits twice would make reducers silently read the same data
+    * twice — the tracker dedupes to one winner, a listing can't. When the
+    * tracker is reachable (always true in local mode) we cross-check the
+    * listed count against its registered map count and fail loudly on a
+    * mismatch rather than double-read. */
   private def blocksByListing(): Seq[(BlockId, Long)] = {
     val wholeMapRange = startMapIndex == 0 && endMapIndex == Int.MaxValue
     if (!wholeMapRange) {
@@ -105,7 +113,24 @@ private[cloud] class CloudShuffleReader[K, C](
         "range; falling back to the driver tracker for this read")
       return blocksByTracker()
     }
-    env.listMapIds(handle.shuffleId).flatMap { mapId =>
+    logWarning("cloud shuffle: enumerating blocks by object-store listing " +
+      "(debug fallback) — duplicate committed task attempts are " +
+      "indistinguishable from distinct maps and would be read twice")
+    val mapIds = env.listMapIds(handle.shuffleId)
+    SparkEnv.get.mapOutputTracker match {
+      case master: org.apache.spark.MapOutputTrackerMaster =>
+        val expected = master.getNumAvailableOutputs(handle.shuffleId)
+        if (expected > 0 && mapIds.length != expected) {
+          throw new org.apache.spark.SparkException(
+            s"cloud shuffle: listing found ${mapIds.length} committed map " +
+              s"outputs for shuffle ${handle.shuffleId} but the tracker " +
+              s"registered $expected — duplicate (speculation/stage-retry) " +
+              "or missing attempts; refusing to double-read. Use the driver " +
+              "tracker enumeration instead.")
+        }
+      case _ => // remote worker: count unknown, the warning above stands
+    }
+    mapIds.flatMap { mapId =>
       (startPartition until endPartition).map { r =>
         (ShuffleBlockId(handle.shuffleId, mapId, r): BlockId, 1L)
       }
