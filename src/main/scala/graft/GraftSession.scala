@@ -23,6 +23,16 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // REQUIRED with the cloud shuffle plugin's MapStatus relocation:
+      // every map output reports the fallback block-manager id, whose fake
+      // host ("remote") would otherwise become every reduce task's
+      // preferred location. Under delay scheduling a task preferring a
+      // never-alive host can starve FOREVER once the cluster goes idle
+      // (observed: 33-task stage, 32 launch PROCESS_LOCAL off a cached
+      // plan, the 33rd waits for an offer that no task-finish event will
+      // ever trigger again). Object-store shuffle has no meaningful reduce
+      // locality anyway — disabling it is correct at every scale.
+      .config("spark.shuffle.reduceLocality.enabled", "false")
       // events fixture stores TIMESTAMP(NANOS); read as long, truncated to
       // micros in Tables.load (matches DuckDB's read behavior).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -35,6 +35,21 @@ object TextOps {
   def minhashSignature(tokenSet: Column, perms: Int): Column =
     org.apache.spark.sql.graft.TextSignatures.minhashSignature(tokenSet, perms)
 
+  /** Token set as sorted distinct xxhash64 longs — the compact integer set
+    * form; Jaccard and MinHash over it never touch string bytes again.
+    * Input need not be pre-distinct. */
+  def tokenSetHashes(tokens: Column): Column =
+    org.apache.spark.sql.graft.TextSignatures.tokenSetHashes(tokens)
+
+  /** MinHash signature over a pre-hashed token set (from
+    * [[tokenSetHashes]]): permutation p of hash h is `xxh64_long(h, p)`. */
+  def minhashFromHashes(hashes: Column, perms: Int): Column =
+    org.apache.spark.sql.graft.TextSignatures.minhashFromHashes(hashes, perms)
+
+  /** Exact Jaccard of two sorted distinct `array<long>` hashed token sets. */
+  def jaccardLong(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.SortedLongArrayJaccard(a, b)
+
   /** LSH band keys for a MinHash signature: `bands` hashes, each over
     * `rowsPerBand` consecutive signature entries. Emitting (bandIdx,
     * bandHash) pairs lets candidates meet through an equi-join — the

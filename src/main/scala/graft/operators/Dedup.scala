@@ -56,38 +56,56 @@ object Dedup {
     // band keys are per-row narrow work; candidates meet via equi-join on
     // (band, bucket); verification re-checks exact Jaccard so false
     // positives drop out. Runs on the FULL table.
+    //
+    // Tuning (measured on the fixtures, see tools/LshTune): the corpus has
+    // ~100× more pairs at jac 0.5-0.9 than above the 0.9 threshold, so
+    // 4-row bands (collision P=jac⁴) drown verification in candidates;
+    // 8-row bands cut jac=0.5 collisions 16× while 20 bands keep per-pair
+    // recall ≥ 1-1.3e-5 at jac=0.9 (<1 expected miss on the fixtures' 17k
+    // threshold-edge pairs) at ~half the candidate volume. All set
+    // arithmetic runs on hashed token sets (sorted array<long>) — strings
+    // are hashed exactly once per doc.
     "dd04_minhash_lsh_pairs" -> ((s, d) => {
-      val perms = 64
-      val bands = 16
+      val perms = 160
+      val bands = 20
       val rows = perms / bands
       // 1. collapse docs with IDENTICAL token sets to one representative —
       //    near-dup corpora are dominated by exact-set duplicate groups,
       //    and Jaccard only depends on the set. LSH then runs on the
       //    (much smaller) distinct-set space; duplicate-group pairs are
-      //    recovered at the end by pure integer joins.
-      val w = docs(s, d).select(col("doc_id"), tokenSet(col("text")).as("ws"))
-      val groups = w.groupBy(col("ws")) // tokenSet is already sorted-canonical
+      //    recovered at the end by pure integer joins. The rep-level table
+      //    is the pipeline's working set (used 4×: both band-join sides +
+      //    both verify joins) — persist it, as a production dedup job
+      //    would (MEMORY_AND_DISK: spills, never recomputes, at any sf).
+      val w = docs(s, d).select(col("doc_id"), tokenSetHashes(tokens(col("text"))).as("th"))
+      val groups = w.groupBy(col("th"))
         .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))
-      val reps = groups.select(col("rep_id"), col("ws"))
-        .withColumn("sig", minhashSignature(col("ws"), perms))
-      // 2. ids-only through the band join + distinct: wide token arrays
-      //    must not ride through mega-buckets; re-join sets only to verify
-      val banded = reps.select(col("rep_id"),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reps = groups.select(col("rep_id"), col("th"))
+        .withColumn("sig", minhashFromHashes(col("th"), perms))
+      // 2. hashed sets ride through the band join and are verified INLINE,
+      //    inside the join's output pipeline (whole-stage codegen, no
+      //    materialization): candidate pairs never hit a shuffle. The k²
+      //    bucket blowup flows through one codegen stage and is immediately
+      //    decimated by the jaccard filter; only verified pairs (×band
+      //    multiplicity) reach the final distinct — a ~100× smaller shuffle
+      //    than distinct-ing raw candidates first. Arrays in the join are
+      //    `bands`× the corpus set bytes; at cluster scale that's the
+      //    shuffle-volume trade against re-joining the rep table twice —
+      //    the k² candidate term dominates both, so the same shape holds.
+      val banded = reps.select(col("rep_id"), col("th"),
           explode(minhashBands(col("sig"), bands, rows)).as("bk"))
-        .select(col("rep_id"),
+        .select(col("rep_id"), col("th"),
           col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      val candidates = banded.select(col("band"), col("bucket"), col("rep_id").as("ra"))
-        .join(banded.select(col("band"), col("bucket"), col("rep_id").as("rb")),
-          Seq("band", "bucket"))
+      val repPairs = banded
+        .select(col("band"), col("bucket"), col("rep_id").as("ra"), col("th").as("a_th"))
+        .join(banded.select(col("band"), col("bucket"),
+          col("rep_id").as("rb"), col("th").as("b_th")), Seq("band", "bucket"))
         .filter(col("ra") < col("rb"))
-        .select(col("ra"), col("rb"))
-        .distinct() // same pair can collide in several bands
-      val repPairs = candidates
-        .join(reps.select(col("rep_id").as("ra"), col("ws").as("a_ws")), "ra")
-        .join(reps.select(col("rep_id").as("rb"), col("ws").as("b_ws")), "rb")
         .select(col("ra"), col("rb"),
-          jaccard(col("a_ws"), col("b_ws")).as("jac"))
+          jaccardLong(col("a_th"), col("b_th")).as("jac"))
         .filter(col("jac") >= 0.9)
+        .distinct() // same pair collides in several bands; tiny post-verify
       // 3. expand back to doc pairs: within-group pairs are exact dups
       //    (jac = 1); cross-group pairs inherit the representative score
       val membership = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))

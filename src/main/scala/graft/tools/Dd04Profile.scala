@@ -15,32 +15,29 @@ object Dd04Profile {
       println(f"[dd04] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       r
     }
-    val perms = 64; val bands = 16; val rows = perms / bands
+    val perms = 160; val bands = 20; val rows = perms / bands
     val w = Tables.load(s, d, "documents")
-      .select(col("doc_id"), tokenSet(col("text")).as("ws"))
+      .select(col("doc_id"), tokenSetHashes(tokens(col("text"))).as("ws"))
     time("tokenSets count")(w.count())
     val groups = w.groupBy(col("ws"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))
       .cache()
     time("groups count")(groups.count())
     val reps = groups.select(col("rep_id"), col("ws"))
-      .withColumn("sig", minhashSignature(col("ws"), perms))
+      .withColumn("sig", minhashFromHashes(col("ws"), perms))
     time("signatures count")(reps.count())
-    val banded = reps.select(col("rep_id"),
+    val banded = reps.select(col("rep_id"), col("ws"),
         explode(minhashBands(col("sig"), bands, rows)).as("bk"))
-      .select(col("rep_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val candidates = banded.select(col("band"), col("bucket"), col("rep_id").as("ra"))
-      .join(banded.select(col("band"), col("bucket"), col("rep_id").as("rb")),
-        Seq("band", "bucket"))
+      .select(col("rep_id"), col("ws"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val repPairs = banded
+      .select(col("band"), col("bucket"), col("rep_id").as("ra"), col("ws").as("a_ws"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("rep_id").as("rb"), col("ws").as("b_ws")), Seq("band", "bucket"))
       .filter(col("ra") < col("rb"))
-      .select(col("ra"), col("rb"))
+      .select(col("ra"), col("rb"), jaccardLong(col("a_ws"), col("b_ws")).as("jac"))
+      .filter(col("jac") >= 0.9)
       .distinct().cache()
-    time("candidates count")(println("  n_candidates=" + candidates.count()))
-    val repPairs = candidates
-      .join(reps.select(col("rep_id").as("ra"), col("ws").as("a_ws")), "ra")
-      .join(reps.select(col("rep_id").as("rb"), col("ws").as("b_ws")), "rb")
-      .select(col("ra"), col("rb"), jaccard(col("a_ws"), col("b_ws")).as("jac"))
-      .filter(col("jac") >= 0.9).cache()
     time("verified count")(println("  n_verified=" + repPairs.count()))
     val membership = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
     val withinGroup = membership.select(col("rep_id"), col("doc_id").as("a_id"))

@@ -39,6 +39,19 @@ class CloudShuffleManager(conf: SparkConf) extends ShuffleManager with Logging {
     require(plugin == classOf[CloudShuffleDataIO].getName,
       s"CloudShuffleManager requires spark.shuffle.sort.io.plugin.class=" +
         s"${classOf[CloudShuffleDataIO].getName} (found '$plugin')")
+    // With MapStatus relocation every map output advertises the fallback
+    // block manager's fake host, which reduce locality then turns into a
+    // preferred location no executor can ever satisfy. Under delay
+    // scheduling (spark.locality.wait > 0) such a task can starve
+    // INDEFINITELY once no other task-finish event re-offers resources.
+    // Object-store shuffle has no reduce locality to exploit anyway.
+    if (conf.getBoolean(CloudShuffleEnv.RELOCATE_KEY, defaultValue = true) &&
+        conf.getBoolean("spark.shuffle.reduceLocality.enabled", defaultValue = true)) {
+      logWarning("cloud shuffle: spark.shuffle.reduceLocality.enabled=true with " +
+        "MapStatus relocation makes the fallback host every reducer's preferred " +
+        "location and can DEADLOCK delay scheduling on an idle cluster; set " +
+        "spark.shuffle.reduceLocality.enabled=false")
+    }
   }
 
   private val registeredShuffleIds = ConcurrentHashMap.newKeySet[Integer]()

@@ -94,10 +94,113 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Token set as SORTED DISTINCT xxhash64 values (seed 42): the compact
+  * integer form of a token set. Downstream set arithmetic (Jaccard merge
+  * walks, MinHash permutations) runs over 8-byte longs instead of UTF8
+  * strings — one string hash per token here buys long-compare and
+  * `hashLong` everywhere after. Collision risk ~ |vocab|²/2⁶⁴, negligible.
+  */
+case class TokenSetHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_set_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        hs(m) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        m += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(hs, 0, m)
+    // dedup in place (sorted)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetHashes =
+    copy(child = newChild)
+}
+
+/** MinHash signature over pre-hashed tokens: permutation `p` of token hash
+  * `h` is `fmix64(h ^ Z(p))` with `Z(p) = splitmix64(p)` — a handful of
+  * multiplies, vs re-walking the token's bytes once per permutation in
+  * [[MinHashSignature]].
+  *
+  * NOT `XXH64.hashLong(h, p)`: small sequential seeds leave xxh64's
+  * single-word path measurably correlated across p, which costs LSH recall
+  * (64 of 28865 fixture pairs missed vs the expected ~2). The
+  * splitmix-scrambled XOR constants restore independent permutations. */
+case class MinHashFromHashes(child: Expression, perms: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_hashes"
+
+  // splitmix64(p): well-scrambled, pairwise-independent permutation keys
+  private lazy val permKeys: Array[Long] = Array.tabulate(perms) { p =>
+    var z = p.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  @inline private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^ (x >>> 33)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val keys = permKeys
+    val out = new Array[Long](perms)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var p = 0
+      while (p < perms) {
+        val hp = fmix64(h ^ keys(p))
+        if (hp < out(p)) out(p) = hp
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
+    copy(child = newChild)
+}
+
 object TextSignatures {
   def minhashSignature(tokens: Column, perms: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(tokens), perms))
 
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  def tokenSetHashes(tokens: Column): Column =
+    ExpressionUtils.column(TokenSetHashes(ExpressionUtils.expression(tokens)))
+
+  def minhashFromHashes(hashes: Column, perms: Int): Column =
+    ExpressionUtils.column(MinHashFromHashes(ExpressionUtils.expression(hashes), perms))
 }
