@@ -19,6 +19,24 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** Expand verified rep-level pairs back to doc-level pairs: docs sharing
+    * a token-set group are exact dups of each other (jac = 1) and of
+    * everything their representative matched (pure integer joins — the
+    * wide set arrays never ride through the expansion). */
+  private def expandRepPairs(groups: DataFrame, repPairs: DataFrame): DataFrame = {
+    val membership = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
+    val withinGroup = membership.select(col("rep_id"), col("doc_id").as("a_id"))
+      .join(membership.select(col("rep_id"), col("doc_id").as("b_id")), "rep_id")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
+    val crossGroup = repPairs
+      .join(membership.select(col("rep_id").as("ra"), col("doc_id").as("x")), "ra")
+      .join(membership.select(col("rep_id").as("rb"), col("doc_id").as("y")), "rb")
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("jac"))
+    withinGroup.unionAll(crossGroup)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content fingerprint, keep the smallest doc_id.
     // At 100 TB this is a single hash shuffle on the fingerprint.
@@ -106,19 +124,40 @@ object Dedup {
           jaccardLong(col("a_th"), col("b_th")).as("jac"))
         .filter(col("jac") >= 0.9)
         .distinct() // same pair collides in several bands; tiny post-verify
-      // 3. expand back to doc pairs: within-group pairs are exact dups
-      //    (jac = 1); cross-group pairs inherit the representative score
-      val membership = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
-      val withinGroup = membership.select(col("rep_id"), col("doc_id").as("a_id"))
-        .join(membership.select(col("rep_id"), col("doc_id").as("b_id")), "rep_id")
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
-      val crossGroup = repPairs
-        .join(membership.select(col("rep_id").as("ra"), col("doc_id").as("x")), "ra")
-        .join(membership.select(col("rep_id").as("rb"), col("doc_id").as("y")), "rb")
-        .select(least(col("x"), col("y")).as("a_id"),
-          greatest(col("x"), col("y")).as("b_id"), col("jac"))
-      withinGroup.unionAll(crossGroup)
+      expandRepPairs(groups, repPairs)
+    }),
+
+    // Exact similarity self-join via PREFIX FILTERING (AllPairs/PPJoin
+    // family): for any global token order, two sets with jac >= t must
+    // share a token within each one's first |X| - ceil(t*|X|) + 1 tokens —
+    // so blocking on prefix tokens is LOSSLESS (recall exactly 1, unlike
+    // LSH) and still prunes the pair space to candidates sharing a rare
+    // prefix element. The hashed-set order stands in for the canonical
+    // frequency order; a size-ratio filter prunes before verification.
+    // Same expansion as dd04; deterministic output => full DuckDB oracle.
+    "dd07_prefix_join" -> ((s, d) => {
+      val w = docs(s, d).select(col("doc_id"), tokenSetHashes(tokens(col("text"))).as("th"))
+      val groups = w.groupBy(col("th"))
+        .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reps = groups.select(col("rep_id"), col("th"), size(col("th")).as("n"))
+      // prefix length n - ceil(0.9n) + 1; 9n/10 exact in IEEE when integral
+      val pref = reps.withColumn("plen",
+          (col("n") - ceil(col("n") * lit(9.0) / lit(10.0)) + lit(1)).cast("int"))
+        .select(col("rep_id"), col("th"), col("n"),
+          explode(slice(col("th"), lit(1), col("plen"))).as("ptok"))
+      val repPairs = pref
+        .select(col("ptok"), col("rep_id").as("ra"), col("th").as("a_th"), col("n").as("na"))
+        .join(pref.select(col("ptok"), col("rep_id").as("rb"),
+          col("th").as("b_th"), col("n").as("nb")), Seq("ptok"))
+        .filter(col("ra") < col("rb") &&
+          col("na") * lit(9) <= col("nb") * lit(10) &&
+          col("nb") * lit(9) <= col("na") * lit(10))
+        .select(col("ra"), col("rb"),
+          jaccardLong(col("a_th"), col("b_th")).as("jac"))
+        .filter(col("jac") >= 0.9)
+        .distinct() // a pair can share several prefix tokens
+      expandRepPairs(groups, repPairs)
     }),
 
     // SimHash near-dup: 64-bit signature, blocking on 16-bit chunks (a
@@ -180,6 +219,19 @@ object Dedup {
       WITH w AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
         FROM documents WHERE doc_id < 500)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
+               / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) AS jac
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9""",
+
+    // exact all-pairs ground truth over the FULL table: dd07 is lossless,
+    // so its output is SQL-expressible (unlike the probabilistic dd04)
+    "dd07_prefix_join" -> """
+      WITH w AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        FROM documents)
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
                / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) AS jac

@@ -328,12 +328,12 @@ object Relational {
       // UDTF-style row generation: explode per-document bigram arrays
       val ws = split(col("text"), " ")
       t(s, d, "documents")
-        .select(col("source"), explode(
+        .select(explode(
           transform(sequence(lit(2), size(ws)),
             i => concat_ws(" ", element_at(ws, i - 1), element_at(ws, i)))).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n_occurrences"))
-        .filter(col("n_occurrences") >= 100)
+        .filter(col("n_occurrences") >= 25)
     }),
 
     "q34_scalar_udf" -> ((s, d) => {
@@ -735,7 +735,7 @@ object Relational {
                         i -> ws[i - 1] || ' ' || ws[i])) AS bigram FROM w)
       SELECT bigram, COUNT(*) AS n_occurrences
       FROM b GROUP BY bigram
-      HAVING COUNT(*) >= 100""",
+      HAVING COUNT(*) >= 25""",
 
     "q34_scalar_udf" -> """
       SELECT CASE WHEN c_acctbal < 0 THEN 'negative'

@@ -44,6 +44,16 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("prefix-filter join equals exact all-pairs ground truth (lossless)") {
+    // sf0.001 has 500 docs, so dd03's bounded subset IS the full table
+    val exact = rows("dd03_jaccard_pairs")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pj = rows("dd07_prefix_join")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pj == exact,
+      s"prefix join missed ${exact.diff(pj).size}, extra ${pj.diff(exact).size}")
+  }
+
   test("simhash chunk blocking is lossless for hamming <= 3 (pigeonhole)") {
     import graft.functions.TextOps
     val docs = Tables.load(spark, sf, "documents")
