@@ -392,6 +392,28 @@ object Relational {
         .select(col("purchase_id"), col("user_id"), col("asof_click_id"))
     }),
 
+    // --- range join (equi prefix + interval residual) ----------------------
+    // Event pairs by the same user within one hour: the equi key carries
+    // the shuffle (SMJ on user_id), the range predicate evaluates as a
+    // partition-local residual — the canonical interval-join shape that
+    // holds at 100 TB (time-bucketing the range key would be the next
+    // step if per-user volumes were unbounded). Gap math in integer µs so
+    // both engines compare exactly.
+    "q40_user_event_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val a = ev.select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+        col("event_type").as("a_type"), col("us").as("a_us"))
+      val b = ev.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        col("event_type").as("b_type"), col("us").as("b_us"))
+      a.join(b, col("a_user") === col("b_user") && col("a_id") < col("b_id") &&
+          abs(col("a_us") - col("b_us")) <= 3600L * 1000000L)
+        .groupBy(col("a_type"), col("b_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("a_us") - col("b_us"))).as("sum_gap_us"))
+    }),
+
     // --- pivot -------------------------------------------------------------
     "q36_pivot" -> ((s, d) => {
       t(s, d, "orders")
@@ -762,6 +784,17 @@ object Relational {
                                      p_type ASC NULLS LAST) AS rk
         FROM sales)
       WHERE rk <= 5""",
+
+    "q40_user_event_range_join" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                 FROM events)
+      SELECT a.event_type AS a_type, b.event_type AS b_type,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(ABS(a.us - b.us)) AS BIGINT) AS sum_gap_us
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND ABS(a.us - b.us) <= 3600000000
+      GROUP BY 1, 2""",
 
     "q39_asof_join" -> """
       WITH clicks AS (

@@ -105,6 +105,23 @@ object Similarity {
         .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // Radius search: ALL neighbors above a similarity floor for a small
+    // query set — the other half of the ANN API surface (top-k bounds the
+    // result count, radius bounds the similarity). The query side is tiny
+    // and broadcast; candidates stream through one codegen'd cross join +
+    // filter, never shuffling, which is exactly the 100 TB shape (queries
+    // broadcast to wherever the corpus partitions live).
+    "ss05_radius_search" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = broadcast(e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+      q.join(e, col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          cosineD(col("q_v"), col("v")).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
     // Per-label centroid norms — a coarse-quantization (IVF-style) summary:
     // centroid = mean vector per label, computed dimension-wise via
     // posexplode + re-aggregation (pure shuffle ops, linear scale).
@@ -140,6 +157,14 @@ object Similarity {
              FROM scored)
       SELECT q_id, c_id, rank, ROUND(cos, 6) AS cos_r
       FROM ranked WHERE rank <= 5""",
+
+    "ss05_radius_search" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 20)
+      SELECT q_id, e.vec_id AS c_id,
+             ROUND(list_cosine_similarity(q_v, e.v), 6) AS cos_r
+      FROM q JOIN e ON q_id != e.vec_id
+      WHERE list_cosine_similarity(q_v, e.v) >= 0.3""",
 
     "ss03_label_centroids" -> """
       WITH expl AS (

@@ -26,7 +26,11 @@ object TextAnalysis {
     org.apache.spark.sql.functions.filter(ws,
       w => w.isInCollection(stopwords))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // forward references to vals defined below — lazy avoids init-order NPE
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ shingleQueries
+
+  private lazy val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + alpha-token regex count.
     "tx01_token_counts" -> ((s, d) => {
       docs(s, d)
@@ -83,7 +87,43 @@ object TextAnalysis {
 
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Character 3-gram (shingle) Jaccard near-dup pairs on a bounded subset:
+    * the n-gram-level complement of the word-set family — robust to
+    * whitespace/token boundary edits. Shingles hash to sorted long sets
+    * (strings touched once); merge-walk Jaccard verifies. Spark `sequence`
+    * REVERSES when stop < start, so short docs are filtered out before
+    * shingling on both engines. */
+  private lazy val shingleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx05_shingle_jaccard" -> ((s, d) => {
+      val sh = transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))
+      val w = docs(s, d)
+        .filter(col("doc_id") < 200 && length(col("text")) >= 3)
+        .select(col("doc_id"), tokenSetHashes(sh).as("shs"))
+      val a = w.select(col("doc_id").as("a_id"), col("shs").as("a_shs"))
+      val b = w.select(col("doc_id").as("b_id"), col("shs").as("b_shs"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          jaccardLong(col("a_shs"), col("b_shs")).as("jac"))
+        .filter(col("jac") >= 0.6)
+    })
+  )
+
   val oracles: Map[String, String] = Map(
+    "tx05_shingle_jaccard" -> """
+      WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, LENGTH(text) - 1),
+                 i -> SUBSTRING(text, i, 3))) AS sh
+        FROM documents
+        WHERE doc_id < 200 AND LENGTH(text) >= 3)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) AS jac
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) >= 0.6""",
+
     "tx01_token_counts" -> """
       SELECT source,
              CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
