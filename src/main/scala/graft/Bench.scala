@@ -10,19 +10,27 @@ object Bench {
     // two timed runs per query, report the min: the rig shares the host
     // with other load, and min-of-N measures the query rather than the
     // neighbors (first run also absorbs per-query plan compilation)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // two FULL passes (not back-to-back repeats): the rig shares the host
+    // with other load and spikes are temporally correlated, so repeating a
+    // query immediately puts both runs inside the same spike — interleaved
+    // passes decorrelate, and min-per-query measures the query
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to 2).map { _ =>
+      ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          name -> (System.nanoTime() - t0) / 1e9
         } catch {
           case t: Throwable =>
             // a broken query must read as broken, not fast: sentinel -1
             System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-            -1.0
+            name -> -1.0
         }
-      }
+      }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      val times = passes.map(_(name))
       // any failed run poisons the query's number
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap

@@ -21,6 +21,9 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Int,
       last_byte: Int, byte_sum_mod: Long, width: Int, height: Int)
 
+  /** Typed result of the (stubbed) frame sampler. */
+  case class Frame(doc_id: Long, source: String, frame_idx: Int, thumb: Long)
+
   /** STUB decoder: a real pipeline would decode image bytes here (e.g.
     * JPEG → pixels). Deterministic fake: "dimensions" derived from content
     * bytes so downstream grouping/joining behaves like real metadata. */
@@ -75,6 +78,35 @@ object Multimodal {
           sum(col("n_bytes")).as("sum_bytes"),
           min(col("width")).as("min_width"),
           max(col("height")).as("max_height"))
+    }),
+
+    // Frame sampling: each payload is treated as a media stream of 64-byte
+    // frames; every 4th frame is sampled and "resized" to a thumbnail (a
+    // byte-sum stub — a real pipeline would decode + downscale pixels
+    // here). One input row fans out to many frame rows inside the same
+    // mapPartitions batch (the flatMap/UDTF batch shape of a mapInPandas
+    // frame extractor), then a per-source rollup.
+    "mm03_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val src = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      val frames = src.as[(Long, String, Array[Byte])].mapPartitions { batch =>
+        batch.flatMap { case (id, source, payload) =>
+          val nFrames = payload.length / 64
+          (0 until nFrames by 4).iterator.map { f =>
+            var sum = 0L
+            var i = f * 64
+            val end = i + 64
+            while (i < end) { sum += payload(i) & 0xff; i += 1 }
+            Frame(id, source, f, sum % 256) // ??? stand-in for decode+resize
+          }
+        }
+      }
+      frames.toDF().groupBy(col("source"))
+        .agg(count(lit(1)).as("n_frames_sampled"),
+          countDistinct(col("doc_id")).as("n_docs_with_frames"),
+          sum(col("thumb")).as("sum_thumbs"),
+          max(col("thumb")).as("max_thumb"))
     })
   )
 
@@ -86,6 +118,20 @@ object Multimodal {
              MAX(OCTET_LENGTH(CAST(text AS BLOB))) AS max_bytes
       FROM documents
       GROUP BY source""",
+
+    "mm03_frame_sample" -> """
+      WITH fr AS (
+        SELECT doc_id, source,
+               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(u.f*64+1, u.f*64+65),
+                 i -> ORD(SUBSTRING(text, i, 1)))) % 256 AS BIGINT) AS thumb
+        FROM documents,
+             LATERAL (SELECT UNNEST(RANGE(0, LENGTH(text)//64)) AS f) u
+        WHERE u.f % 4 = 0)
+      SELECT source, COUNT(*) AS n_frames_sampled,
+             COUNT(DISTINCT doc_id) AS n_docs_with_frames,
+             CAST(SUM(thumb) AS BIGINT) AS sum_thumbs,
+             MAX(thumb) AS max_thumb
+      FROM fr GROUP BY source""",
 
     // the stub decoder is pure byte arithmetic, so the oracle can mirror
     // it (fixture text is ASCII: codepoint == byte value)
