@@ -1,0 +1,77 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration for the engine's native kernels, injected via
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftFunctions` — the
+  * idiomatic way a Spark library exposes custom `Expression`s to SQL users
+  * without forking the session builder:
+  *
+  * {{{
+  *   SELECT sorted_array_jaccard(sort_array(array_distinct(a)),
+  *                               sort_array(array_distinct(b)))
+  *   SELECT minhash_from_hashes(token_set_hashes(split(text, ' ')), 128)
+  * }}}
+  *
+  * Scalar-parameter arguments (permutations, tables, bits) must be integer
+  * literals — they size per-instance state at plan time.
+  */
+class GraftFunctions extends (SparkSessionExtensions => Unit) {
+
+  import GraftFunctions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    registrations.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftFunctions].getName, null, name, usage, ""),
+        builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  /** (name, usage, builder) for every SQL-exposed kernel. */
+  val registrations: Seq[(String, String, FunctionBuilder)] = Seq(
+    ("sorted_array_jaccard",
+      "_FUNC_(a, b) - exact Jaccard of two sorted distinct array<string>",
+      args => { arity("sorted_array_jaccard", args, 2)
+        SortedArrayJaccard(args(0), args(1)) }),
+    ("sorted_long_array_jaccard",
+      "_FUNC_(a, b) - exact Jaccard of two sorted distinct array<long>",
+      args => { arity("sorted_long_array_jaccard", args, 2)
+        SortedLongArrayJaccard(args(0), args(1)) }),
+    ("token_set_hashes",
+      "_FUNC_(tokens) - token set as sorted distinct xxhash64 longs",
+      args => { arity("token_set_hashes", args, 1)
+        TokenSetHashes(args(0)) }),
+    ("minhash_signature",
+      "_FUNC_(tokens, perms) - MinHash signature of a token array",
+      args => { arity("minhash_signature", args, 2)
+        MinHashSignature(args(0), intLit(args(1), "minhash_signature", "perms")) }),
+    ("minhash_from_hashes",
+      "_FUNC_(hashes, perms) - MinHash signature over pre-hashed tokens",
+      args => { arity("minhash_from_hashes", args, 2)
+        MinHashFromHashes(args(0), intLit(args(1), "minhash_from_hashes", "perms")) }),
+    ("simhash64",
+      "_FUNC_(tokens) - 64-bit SimHash of a token array",
+      args => { arity("simhash64", args, 1)
+        SimHash64(args(0)) }),
+    ("array_dot_product",
+      "_FUNC_(a, b) - dot product of two array<double>",
+      args => { arity("array_dot_product", args, 2)
+        ArrayDotProduct(args(0), args(1)) })
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native kernels are reachable from plain SQL through
+  * `spark.sql.extensions` (SparkSessionExtensions.injectFunction). */
+class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("sql-functions-spec")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftFunctions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("jaccard + hashing kernels are callable from SQL") {
+    val r = spark.sql(
+      """SELECT sorted_array_jaccard(array('a', 'b', 'c'), array('b', 'c', 'd')) AS j,
+        |       sorted_long_array_jaccard(array(1L, 2L), array(2L, 3L)) AS jl,
+        |       size(token_set_hashes(array('x', 'y', 'x'))) AS n,
+        |       size(minhash_signature(array('x', 'y'), 8)) AS p,
+        |       size(minhash_from_hashes(token_set_hashes(array('x', 'y')), 8)) AS ph,
+        |       simhash64(array('x', 'y')) AS sh,
+        |       array_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getDouble(1) == 1.0 / 3.0)
+    assert(r.getInt(2) == 2)
+    assert(r.getInt(3) == 8)
+    assert(r.getInt(4) == 8)
+    assert(r.getDouble(6) == 11.0)
+  }
+
+  test("SQL results agree with the Column API") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val viaSql = spark.sql(
+      "SELECT minhash_from_hashes(token_set_hashes(split('a b c d', ' ')), 16) AS s")
+      .head().getSeq[Long](0)
+    val viaApi = Seq("a b c d").toDF("t")
+      .select(graft.functions.TextOps.minhashFromHashes(
+        graft.functions.TextOps.tokenSetHashes(split(col("t"), " ")), 16).as("s"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaApi)
+  }
+
+  test("non-literal scalar parameter fails loudly") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('x'), 1 + 7)").head()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
+  }
+}
