@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those get
@@ -29,5 +30,6 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      operators.StreamingQueries.oracles
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Streaming operators surfaced as ORACLE-GATED queries: each entry runs a
+  * real Structured Streaming job over the events fixture — file source →
+  * watermarked stateful aggregation → memory sink — with
+  * `Trigger.AvailableNow` draining the source and COMPLETE output mode
+  * emitting every window. The final table therefore equals the batch
+  * aggregation of the same data, which a DuckDB oracle can check exactly:
+  * the streaming execution path (state store, watermarks, per-microbatch
+  * shuffles through the cloud plugin) is what's being verified.
+  *
+  * Scale: state is bounded by the watermark in production (append mode);
+  * complete mode here is the verification harness, not the deployment
+  * shape — StreamingOps + StreamingSpec cover append/update semantics.
+  */
+object StreamingQueries {
+
+  /** Streaming-read the events fixture, converting the TIMESTAMP(NANOS)
+    * column exactly as Tables.load does for batch. */
+  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    // the fixture is a single file and the file streaming source wants a
+    // directory: stream the parent with a glob pinned to this fixture
+    val raw = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Drain `df` through a complete-mode memory sink and return the result
+    * table. Unique sink/checkpoint names per invocation keep repeated runs
+    * (bench passes) independent. */
+  private def drain(s: SparkSession, df: DataFrame): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Watermarked tumbling-window aggregation, executed by the streaming
+    // engine (state store + per-microbatch shuffle), checked against the
+    // batch-equivalent SQL.
+    "st01_stream_tumbling" -> ((s, d) => {
+      val agg = streamEvents(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      drain(s, agg)
+    }),
+
+    // Per-user session windows (30-minute gap): the streaming engine's
+    // session merging vs DuckDB's gaps-and-islands formulation.
+    "st02_stream_sessions" -> ((s, d) => {
+      val agg = streamEvents(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("session_value"))
+      drain(s, agg)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st01_stream_tumbling" -> """
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS win_start,
+             CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS win_end,
+             event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2, 3""",
+
+    // gaps-and-islands: a session breaks when the gap to the previous event
+    // of the same user exceeds 30 minutes; session_end = last event + gap
+    // (Spark session_window semantics)
+    "st02_stream_sessions" -> """
+      WITH o AS (
+        SELECT user_id, ts, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events),
+           m AS (
+        SELECT user_id, ts, value,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o)
+      SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+             CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+             user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM m
+      GROUP BY user_id, session_id"""
+  )
+}
