@@ -19,6 +19,7 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
   }
@@ -68,6 +69,50 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange rangepartitioning"),
       s"limit should avoid a full range-partitioned sort:\n$p")
+  }
+
+  test("q40: interval join extracts the equi key (never a nested loop)") {
+    val p = plan("q40_user_event_range_join")
+    assert(!p.contains("NestedLoop"),
+      s"range predicate must be a residual on an equi join, not a cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("dd04/dd07: verification runs inside the candidate join stage (no pair shuffle)") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AQE and cached-relation nodes hide their subtrees from collect();
+    // flatten through them so assertions see the whole physical tree
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case s: InMemoryTableScanExec => flatten(s.relation.cachedPlan)
+      case other => other.children.flatMap(flatten)
+    })
+    for (name <- Seq("dd04_minhash_lsh_pairs", "dd07_prefix_join")) {
+      val exec = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val nodes = flatten(exec)
+      // the jaccard kernel must evaluate where candidate pairs are
+      // produced — in the join's own condition or a filter/project that
+      // reaches the join without crossing a shuffle; pairs must never
+      // materialize through an exchange unverified
+      val verifyNodes = nodes.filter(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.SortedLongArrayJaccard])))
+      assert(verifyNodes.nonEmpty, s"$name: jaccard verification kernel missing")
+      def joinBelowWithoutExchange(p: SparkPlan): Boolean = p match {
+        case _: ShuffleExchangeLike => false
+        case j if j.nodeName.contains("Join") => true
+        case other => other.children.exists(joinBelowWithoutExchange)
+      }
+      verifyNodes.foreach { n =>
+        assert(n.nodeName.contains("Join") || joinBelowWithoutExchange(n),
+          s"$name: candidate pairs shuffled before verification:\n$n")
+      }
+      assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"$name: group table should be persisted")
+    }
   }
 
   test("q31: whole-stage codegen covers the aggregate (final AQE plan)") {
