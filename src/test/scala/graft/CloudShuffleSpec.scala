@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 import org.apache.spark.{SparkConf, SparkContext}
@@ -214,6 +215,38 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
       // a sorted shuffle through listing mode too
       assert(data.sortByKey(ascending = true, 4).keys.collect().toSeq ==
         (0 until n).map(_ % 37).sorted)
+    }
+  }
+
+  test("listing mode detects duplicate committed map attempts instead of double-reading") {
+    val root = Files.createTempDirectory("cloud-shuffle-dup").toUri.toString
+    withSc(baseConf("spark.shuffle.cloud.useDriverTracker" -> "false",
+      "spark.shuffle.cloud.rootDir" -> root)) { sc =>
+      val data = sc.parallelize(0 until 1000, 4).map(i => (i % 7, 1L))
+      val shuffled = data.reduceByKey(_ + _, 3)
+      assert(shuffled.collect().map(_._2).sum == 1000L)
+      // forge a second committed attempt: copy one map's index object under
+      // a fresh task-attempt id — exactly what a speculative duplicate or
+      // stage-retry commit leaves behind (the tracker dedupes to one
+      // winner; a listing cannot tell them apart)
+      val rootPath = java.nio.file.Paths.get(new java.net.URI(root))
+      val index = Files.walk(rootPath).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".index"))
+        .getOrElse(fail("no index object written"))
+      val pattern = "shuffle_(\\d+)_(\\d+)_(\\d+)\\.index".r
+      val forged = index.getFileName.toString match {
+        case pattern(sh, mapId, rest) =>
+          index.resolveSibling(s"shuffle_${sh}_${mapId.toLong + 1000}_$rest.index")
+      }
+      Files.copy(index, forged)
+      // re-running the reduce re-reads the shuffle through listing mode and
+      // must fail loudly on the attempt-count mismatch, not return doubled
+      // sums
+      val e = intercept[org.apache.spark.SparkException](shuffled.collect())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(e).exists(m => m != null && m.contains("refusing to double-read")),
+        s"expected the duplicate-attempt guard, got: $e")
     }
   }
 
