@@ -418,6 +418,50 @@ object Relational {
           sum(abs(col("a_us") - col("b_us"))).as("sum_gap_us"))
     }),
 
+    // --- full outer join ---------------------------------------------------
+    // both null sides aggregated: customers without orders and (by
+    // construction none, but semantics exercised) orders without customers
+    "q41_full_outer" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val ord = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"), col("o_totalprice"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("segment"))
+        .agg(count(col("o_custkey")).as("n_urgent_orders"),
+          sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("n_custs_without"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_price"))
+    }),
+
+    // --- unpivot (inverse of q36's pivot) ----------------------------------
+    "q42_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          davg(col("c_acctbal")).as("avg_bal"))
+      wide.unpivot(Array(col("c_nationkey")),
+          Array(col("min_bal"), col("max_bal"), col("avg_bal")),
+          "stat", "bal")
+    }),
+
+    // --- scalar subquery through the SQL entry path ------------------------
+    // spark.sql with an uncorrelated scalar subquery: Catalyst plans the
+    // inner aggregate once and broadcasts the scalar into the filter
+    "q43_scalar_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_q43_customer")
+      // decimal-exact average: the scalar threshold must be bit-identical
+      // across engines or boundary rows could flip in/out of the filter
+      s.sql("""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_above_avg,
+               CAST(MIN(c_acctbal) AS DOUBLE) AS min_above
+        FROM graft_q43_customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                    / COUNT(*)
+                           FROM graft_q43_customer)
+        GROUP BY c_mktsegment""")
+    }),
+
     // --- pivot -------------------------------------------------------------
     "q36_pivot" -> ((s, d) => {
       t(s, d, "orders")
@@ -788,6 +832,38 @@ object Relational {
                                      p_type ASC NULLS LAST) AS rk
         FROM sales)
       WHERE rk <= 5""",
+
+    "q41_full_outer" -> """
+      WITH ord AS (SELECT o_custkey, o_totalprice FROM orders
+                   WHERE o_orderpriority = '1-URGENT')
+      SELECT COALESCE(c.c_mktsegment, 'NO_CUSTOMER') AS segment,
+             COUNT(o.o_custkey) AS n_urgent_orders,
+             CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_custs_without,
+             CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM customer c FULL OUTER JOIN ord o ON c.c_custkey = o.o_custkey
+      GROUP BY 1""",
+
+    "q42_unpivot" -> """
+      WITH w AS (
+        SELECT c_nationkey, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal)
+                 AS avg_bal
+        FROM customer GROUP BY c_nationkey)
+      SELECT c_nationkey, 'min_bal' AS stat, min_bal AS bal FROM w
+      UNION ALL SELECT c_nationkey, 'max_bal', max_bal FROM w
+      UNION ALL SELECT c_nationkey, 'avg_bal', avg_bal FROM w""",
+
+    "q43_scalar_subquery" -> """
+      SELECT c_mktsegment,
+             COUNT(*) AS n_above_avg,
+             CAST(MIN(c_acctbal) AS DOUBLE) AS min_above
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(*)
+                         FROM customer)
+      GROUP BY c_mktsegment""",
 
     "q40_user_event_range_join" -> """
       WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us

@@ -1,0 +1,10 @@
+package graft.tools
+import graft.{GraftSession, SparkEntry}
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val s = GraftSession.get("4")
+    val n = SparkEntry.entry(s).count()
+    println(s"[entry-smoke] rows=$n")
+    s.stop()
+  }
+}
