@@ -328,13 +328,11 @@ object Relational {
       // UDTF-style row generation: explode per-document bigram arrays
       val ws = split(col("text"), " ")
       t(s, d, "documents")
-        // single-token docs: sequence(2, 1) REVERSES instead of emptying,
-        // and element_at would then read out of bounds — guard them out
-        // (the oracle's range(2, len+1) is empty for them, same result)
-        .filter(size(ws) >= 2)
+        // native kernel: the transform(sequence(...)) formulation runs an
+        // interpreted lambda per element; Bigrams is one JVM loop and
+        // yields [] for singleton docs (no sequence-reversal hazard)
         .select(explode(
-          transform(sequence(lit(2), size(ws)),
-            i => concat_ws(" ", element_at(ws, i - 1), element_at(ws, i)))).as("bigram"))
+          org.apache.spark.sql.graft.TextSignatures.bigrams(ws)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n_occurrences"))
         .filter(col("n_occurrences") >= 25)

@@ -69,6 +69,10 @@ object GraftFunctions {
       "_FUNC_(tokens) - 64-bit SimHash of a token array",
       args => { arity("simhash64", args, 1)
         SimHash64(args(0)) }),
+    ("bigrams",
+      "_FUNC_(tokens) - adjacent-token bigrams of a token array",
+      args => { arity("bigrams", args, 1)
+        Bigrams(args(0)) }),
     ("array_dot_product",
       "_FUNC_(a, b) - dot product of two array<double>",
       args => { arity("array_dot_product", args, 2)

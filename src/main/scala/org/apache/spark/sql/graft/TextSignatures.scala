@@ -191,6 +191,39 @@ case class MinHashFromHashes(child: Expression, perms: Int)
     copy(child = newChild)
 }
 
+/** Adjacent-token bigrams of a token array ("a b c" tokens → ["a b",
+  * "b c"]): one JVM loop instead of an interpreted
+  * `transform(sequence(...), i -> concat_ws(...))` lambda per element.
+  * Empty/singleton inputs yield an empty array (no `sequence` reversal
+  * hazard). */
+case class Bigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bigrams"
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val a = if (arr.isNullAt(i)) space.copy() else arr.getUTF8String(i)
+      val b = if (arr.isNullAt(i + 1)) space.copy() else arr.getUTF8String(i + 1)
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concat(a, space, b)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams =
+    copy(child = newChild)
+}
+
 object TextSignatures {
   def minhashSignature(tokens: Column, perms: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(tokens), perms))
@@ -203,4 +236,7 @@ object TextSignatures {
 
   def minhashFromHashes(hashes: Column, perms: Int): Column =
     ExpressionUtils.column(MinHashFromHashes(ExpressionUtils.expression(hashes), perms))
+
+  def bigrams(tokens: Column): Column =
+    ExpressionUtils.column(Bigrams(ExpressionUtils.expression(tokens)))
 }
