@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextOps._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` fixture (SURVEY.md §2.3):
@@ -76,6 +77,51 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // TF-IDF top terms per document (bounded subset). Scoring is the
+    // log-free rational form cnt·N / (doclen·df) — log() is only
+    // 1-ulp-accurate and differs between libm and Math.log, which would
+    // break cross-engine hash equality; the pure product/quotient chain,
+    // evaluated in the same order on both engines, is bit-exact. Shape:
+    // one explode + three hash aggregations + broadcast-joined scalar.
+    "tx06_tfidf" -> ((s, d) => {
+      val toks = docs(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("doclen"))
+      val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val nd = toks.agg(countDistinct(col("doc_id")).as("n"))
+      val scored = tf.join(dl, "doc_id").join(df, "term")
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("term"),
+          (col("cnt").cast("double") * col("n") / col("doclen") / col("df")).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.select(col("doc_id"), col("term"), col("score"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+    }),
+
+    // Deterministic train/val/test split: rank docs per source by content
+    // hash (md5 — identical in every engine, unlike rand()), cut at
+    // 80/90%. The standard reproducible-split op for training pipelines:
+    // assignment depends only on content, never on partitioning or run
+    // order. Two window passes + a rollup; linear at any scale.
+    "tx07_hash_split" -> ((s, d) => {
+      val byHash = Window.partitionBy(col("source")).orderBy(col("h"))
+      val whole = Window.partitionBy(col("source"))
+      docs(s, d)
+        .select(col("source"), col("n_chars"), md5(col("text").cast("binary")).as("h"))
+        .select(col("source"), col("n_chars"),
+          row_number().over(byHash).as("rk"),
+          count(lit(1)).over(whole).as("cnt"))
+        .select(col("source"), col("n_chars"),
+          when((col("rk") - 1).cast("double") / col("cnt") < 0.8, "train")
+            .when((col("rk") - 1).cast("double") / col("cnt") < 0.9, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // Document fingerprinting: md5 content hash + per-source uniqueness.
     "tx04_fingerprints" -> ((s, d) => {
       docs(s, d)
@@ -123,6 +169,42 @@ object TextAnalysis {
       FROM w a JOIN w b ON a.doc_id < b.doc_id
       WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) >= 0.6""",
+
+    "tx06_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id < 100),
+           tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+           dl AS (SELECT doc_id, COUNT(*) AS doclen FROM toks GROUP BY 1),
+           df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+           nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+           scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.cnt AS DOUBLE) * nd.n / dl.doclen / df.df AS score
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN nd),
+           ranked AS (
+        SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rk
+        FROM scored)
+      SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3""",
+
+    "tx07_hash_split" -> """
+      WITH r AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text)) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM documents),
+           s AS (
+        SELECT source, n_chars,
+               CASE WHEN CAST(rk - 1 AS DOUBLE) / cnt < 0.8 THEN 'train'
+                    WHEN CAST(rk - 1 AS DOUBLE) / cnt < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r)
+      SELECT source, split, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM s
+      GROUP BY 1, 2""",
 
     "tx01_token_counts" -> """
       SELECT source,
