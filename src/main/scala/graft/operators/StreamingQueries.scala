@@ -68,6 +68,19 @@ object StreamingQueries {
       drain(s, agg)
     }),
 
+    // Sliding windows (1h every 15m): each event contributes to 4
+    // overlapping windows; the oracle reconstructs them as the 4 15-minute
+    // buckets at and before the event's own bucket.
+    "st03_stream_sliding" -> ((s, d) => {
+      val agg = streamEvents(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      drain(s, agg)
+    }),
+
     // Per-user session windows (30-minute gap): the streaming engine's
     // session merging vs DuckDB's gaps-and-islands formulation.
     "st02_stream_sessions" -> ((s, d) => {
@@ -90,6 +103,17 @@ object StreamingQueries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2, 3""",
+
+    "st03_stream_sliding" -> """
+      WITH shifted AS (
+        SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts)
+                      - k.k * INTERVAL 15 MINUTE AS TIMESTAMP) AS win_start,
+               event_type, value
+        FROM events, (SELECT UNNEST(RANGE(0, 4)) AS k) k)
+      SELECT win_start, event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM shifted
+      GROUP BY 1, 2""",
 
     // gaps-and-islands: a session breaks when the gap to the previous event
     // of the same user exceeds 30 minutes; session_end = last event + gap
