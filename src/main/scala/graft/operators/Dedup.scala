@@ -183,6 +183,33 @@ object Dedup {
         .filter(col("hamming") <= 3)
     }),
 
+    // Embedding near-dup at SCALE: random-hyperplane LSH buckets generate
+    // candidate pairs through an equi-join on (table, bucket) — ids only —
+    // and exact cosine verifies. The vector analogue of dd04: the full
+    // cross product never materializes; recall vs the exact dd06 ground
+    // truth is asserted in NorthStarSpec. No SQL oracle (hyperplane hashes
+    // aren't expressible in DuckDB); driver records a rows-only check.
+    "dd08_embedding_lsh_pairs" -> ((s, d) => {
+      import graft.functions.VectorOps
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val keyed = Tables.load(s, d, "embeddings").select(col("vec_id"),
+          explode(VectorOps.rpLshTables(col("embedding"), tables = 8, bitsPerTable = 4))
+            .as("tb"))
+        .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      keyed.select(col("table"), col("bucket"), col("vec_id").as("a_id"))
+        .join(keyed.select(col("table"), col("bucket"), col("vec_id").as("b_id")),
+          Seq("table", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          VectorOps.cosineD(col("a_v"), col("b_v")).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
     // Embedding near-dup: cosine similarity above threshold on a bounded
     // subset (ground truth for the ANN path in Similarity).
     "dd06_embedding_neardup" -> ((s, d) => {

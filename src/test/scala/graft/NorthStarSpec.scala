@@ -54,6 +54,21 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"prefix join missed ${exact.diff(pj).size}, extra ${pj.diff(exact).size}")
   }
 
+  test("embedding LSH pairs: no false positives, usable recall vs exact ground truth") {
+    val exact = rows("dd06_embedding_neardup")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = rows("dd08_embedding_lsh_pairs")
+      .filter(r => r.getLong(0) < 500 && r.getLong(1) < 500)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification makes precision exact; recall is the LSH trade-off
+    // (8 tables × 4 bits ⇒ per-pair P(candidate) ≈ 0.75 at cos = 0.4,
+    // higher as cos → 1). Deterministic for the fixed seed + fixtures.
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("simhash chunk blocking is lossless for hamming <= 3 (pigeonhole)") {
     import graft.functions.TextOps
     val docs = Tables.load(spark, sf, "documents")
