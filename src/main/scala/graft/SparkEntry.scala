@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
-      operators.StreamingQueries.queries
+      operators.StreamingQueries.queries ++
+      operators.Pipelines.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those get
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++
       operators.Multimodal.oracles ++
-      operators.StreamingQueries.oracles
+      operators.StreamingQueries.oracles ++
+      operators.Pipelines.oracles
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Composed training-data pipeline: the individual operators (exact dedup,
+  * quality scoring, deterministic splitting) chained into ONE Catalyst DAG,
+  * the way a production corpus-preparation job runs them. Everything stays
+  * declarative — dedup is a fingerprint window, the quality gate a filter,
+  * the split a second window — so Catalyst pipelines the whole thing with
+  * three shuffles (fingerprint, source-rank, final rollup) at any scale.
+  */
+object Pipelines {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus prep: exact-dedup (keep lowest doc_id per content
+    // fingerprint) → quality gate → 80/10/10 md5-rank split → per-split
+    // stats over the SURVIVING corpus
+    "pp01_clean_corpus" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val byFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val deduped = docs
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+          fingerprint(col("text")).as("fp"),
+          tokens(col("text")).as("ws"))
+        .withColumn("keep_rk", row_number().over(byFp))
+        .filter(col("keep_rk") === 1)
+      val scored = deduped.select(col("doc_id"), col("source"), col("text"),
+          col("n_chars"),
+          (size(org.apache.spark.sql.functions.filter(col("ws"),
+            w => w.isInCollection(Seq("the", "a", "of", "and", "to", "in", "is"))))
+            .cast("double") / size(col("ws"))).as("stop_ratio"),
+          (size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
+            .as("distinct_ratio"),
+          size(col("ws")).as("n_tokens"))
+        .withColumn("quality",
+          round(least(lit(1.0),
+            (col("stop_ratio") * 2 + col("distinct_ratio")) *
+              when(col("n_tokens") >= 20, 1.0).otherwise(0.5)), 6))
+        .filter(col("quality") >= 0.5)
+      val bySrcHash = Window.partitionBy(col("source"))
+        .orderBy(md5(col("text").cast("binary")))
+      val whole = Window.partitionBy(col("source"))
+      scored
+        .select(col("source"), col("n_chars"), col("quality"),
+          row_number().over(bySrcHash).as("rk"),
+          count(lit(1)).over(whole).as("cnt"))
+        .select(col("n_chars"), col("quality"),
+          when((col("rk") - 1).cast("double") / col("cnt") < 0.8, "train")
+            .when((col("rk") - 1).cast("double") / col("cnt") < 0.9, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("quality").cast(DecimalType(28, 6))).cast(DoubleType)
+            / count(lit(1))).as("avg_quality"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pp01_clean_corpus" -> """
+      WITH dd AS (
+        SELECT doc_id, source, text, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(TRIM(LOWER(text)))
+                                  ORDER BY doc_id) AS keep_rk
+        FROM documents),
+           q AS (
+        SELECT doc_id, source, text, n_chars,
+               ROUND(LEAST(1.0,
+                 (CAST(LEN(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], w)))
+                    AS DOUBLE) / LEN(string_split(text, ' ')) * 2
+                  + CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / LEN(string_split(text, ' ')))
+                 * (CASE WHEN LEN(string_split(text, ' ')) >= 20
+                         THEN 1.0 ELSE 0.5 END)), 6) AS quality
+        FROM dd WHERE keep_rk = 1),
+           g AS (SELECT * FROM q WHERE quality >= 0.5),
+           r AS (
+        SELECT n_chars, quality,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text)) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM g),
+           sp AS (
+        SELECT n_chars, quality,
+               CASE WHEN CAST(rk - 1 AS DOUBLE) / cnt < 0.8 THEN 'train'
+                    WHEN CAST(rk - 1 AS DOUBLE) / cnt < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r)
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS avg_quality
+      FROM sp
+      GROUP BY split"""
+  )
+}
