@@ -25,9 +25,12 @@ class GraftFunctions extends (SparkSessionExtensions => Unit) {
   import GraftFunctions._
 
   override def apply(ext: SparkSessionExtensions): Unit =
-    registrations.foreach { case (name, usage, builder) =>
+    registrations.foreach { case (name, _, builder) =>
+      // 3-arg constructor: the 5-arg usage/examples form is deprecated and
+      // the full 11-arg form demands doc-format invariants; usage strings
+      // stay in `registrations` for README/help tooling
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftFunctions].getName, null, name, usage, ""),
+        new ExpressionInfo(classOf[GraftFunctions].getName, null, name),
         builder))
     }
 }
