@@ -38,12 +38,13 @@ object StreamingQueries {
   /** Drain `df` through a complete-mode memory sink and return the result
     * table. Unique sink/checkpoint names per invocation keep repeated runs
     * (bench passes) independent. */
-  private def drain(s: SparkSession, df: DataFrame): DataFrame = {
+  private def drain(s: SparkSession, df: DataFrame,
+      mode: String = "complete"): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .option("checkpointLocation", s"/tmp/graft-ckpt-$name")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -81,6 +82,21 @@ object StreamingQueries {
       drain(s, agg)
     }),
 
+    // Streaming exact dedup: dropDuplicates emits only the FIRST arrival
+    // of each (user, event_type) key — append mode, state unbounded (the
+    // verification shape; production bounds it with
+    // dropDuplicatesWithinWatermark, spec-covered). The drained table has
+    // exactly one row per distinct key regardless of arrival order, so a
+    // batch rollup over it equals COUNT(DISTINCT) in SQL.
+    "st04_stream_distinct" -> ((s, d) => {
+      val deduped = streamEvents(s, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      drain(s, deduped, mode = "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Per-user session windows (30-minute gap): the streaming engine's
     // session merging vs DuckDB's gaps-and-islands formulation.
     "st02_stream_sessions" -> ((s, d) => {
@@ -103,6 +119,11 @@ object StreamingQueries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2, 3""",
+
+    "st04_stream_distinct" -> """
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY event_type""",
 
     "st03_stream_sliding" -> """
       WITH shifted AS (
