@@ -97,6 +97,36 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Stream-stream interval self-join — the streaming execution of q40's
+    // semantics: pairs of events by the same user within one hour, joined
+    // across two watermarked streams with an event-time range condition
+    // (what bounds the join state), drained append-mode, then rolled up
+    // in batch. The final pair set equals the batch interval join.
+    "st05_stream_interval_join" -> ((s, d) => {
+      val a = streamEvents(s, d).withWatermark("ts", "10 minutes")
+        .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+          col("event_type").as("a_type"), col("ts").as("a_ts"))
+      val b = streamEvents(s, d).withWatermark("ts", "10 minutes")
+        .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+          col("event_type").as("b_type"), col("ts").as("b_ts"))
+      // the id-ordering predicate must stay out of the STREAMING plan
+      // entirely — even as a filter it gets pushed back into the join
+      // condition, where Spark's watermark state-constraint extractor
+      // fatally trips on the non-time conjunct. So the join emits both
+      // orders (and self-pairs) and the post-drain BATCH rollup keeps
+      // a_id < b_id, which also dedups each unordered pair to one row.
+      val joined = a.join(b,
+        col("a_user") === col("b_user") &&
+          col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      drain(s, joined, mode = "append")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_type"), col("b_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(unix_micros(col("a_ts")) - unix_micros(col("b_ts"))))
+            .as("sum_gap_us"))
+    }),
+
     // Per-user session windows (30-minute gap): the streaming engine's
     // session merging vs DuckDB's gaps-and-islands formulation.
     "st02_stream_sessions" -> ((s, d) => {
@@ -119,6 +149,17 @@ object StreamingQueries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2, 3""",
+
+    "st05_stream_interval_join" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                 FROM events)
+      SELECT a.event_type AS a_type, b.event_type AS b_type,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(ABS(a.us - b.us)) AS BIGINT) AS sum_gap_us
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND ABS(a.us - b.us) <= 3600000000
+      GROUP BY 1, 2""",
 
     "st04_stream_distinct" -> """
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users
