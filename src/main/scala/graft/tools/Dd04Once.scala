@@ -1,5 +1,9 @@
 package graft.tools
 import graft.{GraftSession, SparkEntry}
+
+/** Dev-only: run dd04 twice end-to-end (cold + cached) at a given sf.
+  * RELOC=false disables MapStatus relocation — the knob that isolated the
+  * reduce-locality starvation deadlock (see SCALE.md §1 Locality). */
 object Dd04Once {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")

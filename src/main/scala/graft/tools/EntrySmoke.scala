@@ -1,5 +1,7 @@
 package graft.tools
 import graft.{GraftSession, SparkEntry}
+
+/** Dev-only: mimic the driver's SparkEntry.entry smoke check (rows > 0). */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
     val s = GraftSession.get("4")
