@@ -40,21 +40,25 @@ object VectorOps {
   /** Multi-table random-hyperplane LSH keys: `tables` independent hash
     * tables, each a `bitsPerTable`-bit sign pattern against deterministic
     * pseudo-random hyperplanes (xxhash64-derived in (plane, dim)). Returns
-    * an array of (table, bucket) structs for `explode` + equi-join.
+    * an `array<long>` of packed `(table << bits) | bucket` keys for
+    * `explode` + a single-long-column equi-join.
     *
     * At 100 TB this is the scale path for similarity search: vectors
     * hash-partition by (table, bucket), so candidate generation is an
     * equi-join instead of an O(n²) cross product. More tables → higher
     * recall, linearly more candidate volume: the standard LSH trade.
     */
-  def rpLshTables(v: Column, tables: Int, bitsPerTable: Int, seed: Int = 42): Column = {
-    // native per-row expression (the HOF formulation ran every element ×
-    // plane product through the lambda interpreter)
-    val buckets = org.apache.spark.sql.graft.RandomHyperplaneLsh(
-      asDouble(v), tables, bitsPerTable, seed.toLong)
-    zip_with(
-      sequence(lit(0), lit(tables - 1)),
-      buckets,
-      (t, bucket) => struct(t.as("table"), bucket.as("bucket")))
-  }
+  def rpLshTables(v: Column, tables: Int, bitsPerTable: Int, seed: Int = 42): Column =
+    org.apache.spark.sql.graft.RandomHyperplaneLshProbes(
+      asDouble(v), tables, bitsPerTable, seed.toLong, probeRadius = 0)
+
+  /** Multi-probe variant of [[rpLshTables]]: besides each table's own
+    * bucket, also emits every bucket at Hamming distance 1 (one sign bit
+    * flipped). Join a probe side against an [[rpLshTables]] index side and
+    * a pair collides iff some table's signatures differ in ≤ 1 bit —
+    * recall of `1 + b·(1-p)/p` tables for the candidate cost of
+    * `(b+1)/2^b` random collisions per table. */
+  def rpLshProbes(v: Column, tables: Int, bitsPerTable: Int, seed: Int = 42): Column =
+    org.apache.spark.sql.graft.RandomHyperplaneLshProbes(
+      asDouble(v), tables, bitsPerTable, seed.toLong, probeRadius = 1)
 }

@@ -183,31 +183,53 @@ object Dedup {
         .filter(col("hamming") <= 3)
     }),
 
-    // Embedding near-dup at SCALE: random-hyperplane LSH buckets generate
-    // candidate pairs through an equi-join on (table, bucket) — ids only —
-    // and exact cosine verifies. The vector analogue of dd04: the full
-    // cross product never materializes; recall vs the exact dd06 ground
-    // truth is asserted in NorthStarSpec. No SQL oracle (hyperplane hashes
-    // aren't expressible in DuckDB); driver records a rows-only check.
+    // Embedding near-dup at SCALE: multi-probe random-hyperplane LSH.
+    // Candidate pairs meet through an equi-join of a radius-1 probe side
+    // (each table's bucket plus every 1-bit flip) against a radius-0 index
+    // side — ids only — so a pair is a candidate iff some table's sign
+    // signatures differ in ≤ 1 bit; exact cosine then verifies. The vector
+    // analogue of dd04: the full cross product never materializes; recall
+    // AND candidate volume vs the exact ground truth are asserted in
+    // NorthStarSpec. No SQL oracle (hyperplane hashes aren't expressible
+    // in DuckDB); driver records a rows-only check.
+    //
+    // Tuning (measured via tools/VecLshTune at sf0.1): true pairs hug the
+    // 0.4 threshold (906/920 in cos [0.4, 0.5)), where per-hyperplane sign
+    // agreement is p ≈ 0.63 vs 0.5 for random pairs — each added bit cuts
+    // candidates by only (0.5/0.63) ≈ 0.79× at fixed recall, so sub-1%
+    // candidate volume is out of reach at this threshold (it IS reachable
+    // at real near-dup thresholds ≥ 0.8, same machinery — see SCALE.md).
+    // 160 tables × 15 bits, radius 1 measures recall 0.841 with 10.8% of
+    // pairs as candidates, vs the round-2 config's 0.790 at 41.1%.
     "dd08_embedding_lsh_pairs" -> ((s, d) => {
       import graft.functions.VectorOps
+      val tables = 160; val bits = 15
+      // signatures cost tables·bits·dim mults per row — spread rows across
+      // the cluster BEFORE the kernel (a small fixture arrives as one
+      // parquet split = one task otherwise; explicit numPartitions keeps
+      // AQE from coalescing the tiny exchange back to a single partition)
       val e = Tables.load(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      val keyed = Tables.load(s, d, "embeddings").select(col("vec_id"),
-          explode(VectorOps.rpLshTables(col("embedding"), tables = 8, bitsPerTable = 4))
-            .as("tb"))
-        .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      keyed.select(col("table"), col("bucket"), col("vec_id").as("a_id"))
-        .join(keyed.select(col("table"), col("bucket"), col("vec_id").as("b_id")),
-          Seq("table", "bucket"))
+      val index = e.select(col("vec_id").as("b_id"),
+        explode(VectorOps.rpLshTables(col("v"), tables, bits)).as("tbk"))
+      val probe = e.select(col("vec_id").as("a_id"),
+        explode(VectorOps.rpLshProbes(col("v"), tables, bits)).as("tbk"))
+      // verify BEFORE the distinct: vectors join on ids (broadcast-size
+      // here, hash joins at scale), exact cosine decimates the candidate
+      // stream inside codegen, and only verified pairs (×collision
+      // multiplicity — bounded by `tables`) reach the distinct — the same
+      // verify-early discipline as dd04's fused band join.
+      probe.join(index, Seq("tbk"))
         .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
+        .select(col("a_id"), col("b_id"))
         .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
         .select(col("a_id"), col("b_id"),
           VectorOps.cosineD(col("a_v"), col("b_v")).as("cos"))
         .filter(col("cos") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
+        .distinct()
     }),
 
     // Embedding near-dup: cosine similarity above threshold on a bounded

@@ -46,16 +46,14 @@ object Similarity {
       // ids-only through the bucket join + distinct (vector arrays must
       // not ride the candidate shuffle); vectors re-join for scoring
       val keyed = emb(s, d).select(col("vec_id"),
-          explode(rpLshTables(col("embedding"), tables = 8, bitsPerTable = 4)).as("tb"))
-        .select(col("vec_id"),
-          col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+        explode(rpLshTables(col("embedding"), tables = 8, bitsPerTable = 4)).as("tbk"))
       val q = keyed.filter(col("vec_id") < 10)
-        .select(col("table"), col("bucket"), col("vec_id").as("q_id"))
+        .select(col("tbk"), col("vec_id").as("q_id"))
       val c = keyed.filter(col("vec_id") >= 10)
-        .select(col("table"), col("bucket"), col("vec_id").as("c_id"))
+        .select(col("tbk"), col("vec_id").as("c_id"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("c_id"))
-      q.join(c, Seq("table", "bucket"))
+      q.join(c, Seq("tbk"))
         .select(col("q_id"), col("c_id")).distinct()
         .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), "q_id")
         .join(e.select(col("vec_id").as("c_id"), col("v").as("c_v")), "c_id")

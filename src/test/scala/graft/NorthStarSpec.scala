@@ -61,12 +61,39 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(r => r.getLong(0) < 500 && r.getLong(1) < 500)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // verification makes precision exact; recall is the LSH trade-off
-    // (8 tables × 4 bits ⇒ per-pair P(candidate) ≈ 0.75 at cos = 0.4,
-    // higher as cos → 1). Deterministic for the fixed seed + fixtures.
+    // (160 tables × 15 bits, radius-1 multi-probe ⇒ measured recall 0.84
+    // at sf0.1, higher as cos → 1). Deterministic for the fixed seed +
+    // fixtures.
     assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
     assert(exact.nonEmpty)
     val recall = lsh.size.toDouble / exact.size
-    assert(recall >= 0.6, s"LSH recall $recall (${lsh.size}/${exact.size})")
+    assert(recall >= 0.7, s"LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("embedding LSH candidate volume is a small fraction of all pairs") {
+    // The scale property VERDICT r2 flagged: the round-2 config (8 tables
+    // × 4 bits) made ~41% of ALL pairs candidates — half a cross join.
+    // The multi-probe config must keep the pre-verify candidate set small
+    // while holding recall (bound above). Threshold physics (SCALE.md):
+    // true pairs hug cos 0.4 where sign agreement is 0.63 vs 0.5 random,
+    // so ~10% is the practical floor here — at real near-dup thresholds
+    // (≥ 0.8) the same machinery reaches ≪ 1%.
+    import graft.functions.VectorOps
+    val tables = 160; val bits = 15
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val n = e.count()
+    val index = e.select(col("vec_id").as("b_id"),
+      explode(VectorOps.rpLshTables(col("v"), tables, bits)).as("tbk"))
+    val probe = e.select(col("vec_id").as("a_id"),
+      explode(VectorOps.rpLshProbes(col("v"), tables, bits)).as("tbk"))
+    val candidates = probe.join(index, Seq("tbk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct().count()
+    val allPairs = n * (n - 1) / 2
+    val frac = candidates.toDouble / allPairs
+    info(f"candidates=$candidates of $allPairs pairs ($frac%.4f)")
+    assert(frac <= 0.15, f"candidate volume $frac%.4f of all pairs — blocking too loose")
   }
 
   test("simhash chunk blocking is lossless for hamming <= 3 (pigeonhole)") {
