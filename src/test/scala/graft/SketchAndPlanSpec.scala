@@ -115,6 +115,30 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ss04: IVF cell assignment is map-side (no corpus×k shuffle, single window)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other.children.flatMap(flatten)
+    })
+    val nodes = flatten(SparkEntry.queries("ss04_ann_ivf_topk")(spark, sf)
+      .queryExecution.executedPlan)
+    // one window total: the final per-query re-rank. The round-2 plan had
+    // two more (crossJoin×cells + row_number argmin per side) that
+    // shuffled corpus×k rows — the native NearestCells assignment must
+    // keep them out for good.
+    assert(nodes.count(_.isInstanceOf[WindowExec]) == 1,
+      s"expected exactly the final re-rank window:\n${nodes.map(_.nodeName)}")
+    // cell assignment reaches the cell join with no exchange anywhere
+    // below it: the corpus streams map-side into the join
+    val join = nodes.find(_.nodeName.contains("Join")).get
+    assert(join.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"corpus shuffled before the cell join:\n$join")
+  }
+
   test("q31: whole-stage codegen covers the aggregate (final AQE plan)") {
     val df = SparkEntry.queries("q31_embedding_stats")(spark, sf)
     df.collect() // AQE finalizes (and codegens) only on execution
