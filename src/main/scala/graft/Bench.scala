@@ -20,8 +20,13 @@ object Bench {
     val streaming = graft.operators.StreamingQueries.queries.keySet
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => streaming.contains(name) }
-    val passes = (1 to 2).map { _ =>
+    // min of 3 interleaved passes; a System.gc() before each query keeps a
+    // neighbor's garbage from billing its collection pause to this query
+    // (the r2 "regression cluster" — q11-q14/ts01/mm02 2-6× slower with
+    // unchanged code — did not reproduce under this protocol)
+    val passes = (1 to 3).map { _ =>
       ordered.map { case (name, fn) =>
+        System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -39,10 +44,16 @@ object Bench {
       // any failed run poisons the query's number
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the line compact enough for the driver's tail
+    // capture (r1/r2 full-precision doubles overflowed it: "parsed": null)
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces for tail truncation: same line on stderr too
+    System.err.println(line)
     spark.stop()
   }
 }
