@@ -34,6 +34,29 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
   private var delivered = 0
   private val total = blocks.length
 
+  // --- read-side statistics (reference S3BufferedPrefetchIterator.scala:
+  // 155-186) — all fields only touched when env.readStatistics is on, so
+  // the disabled path pays zero timing calls
+  private val statsEnabled = env.readStatistics
+  private val startNanos = if (statsEnabled) System.nanoTime() else 0L
+  private val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val prefetchNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private var waitNanos = 0L // consumer thread only
+
+  private def logStatistics(): Unit = {
+    val totalNanos = math.max(1L, System.nanoTime() - startNanos)
+    val bR = bytesRead.get()
+    val tP = prefetchNanos.get() / 1000000
+    val tW = waitNanos / 1000000
+    val n = math.max(1, total)
+    val mibs = if (tP > 0) bR.toDouble / (tP.toDouble / 1000) / (1024 * 1024) else 0.0
+    logInfo(f"cloud shuffle read stats: $total blocks, $bR bytes, " +
+      f"$tW ms waiting (${tW / n} avg), $tP ms prefetching (${tP / n} avg, " +
+      f"${bR / n} block size, $mibs%.1f MiB/s). " +
+      f"Total: ${totalNanos / 1000000} ms - ${100 * waitNanos / totalNanos}%% waiting. " +
+      f"$targetThreads target threads.")
+  }
+
   // --- memory budget ------------------------------------------------------
   private val budgetLock = new Object
   private var bufferedBytes = 0L
@@ -109,6 +132,10 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
           val t0 = System.nanoTime()
           val buf = readUpTo(wrapped, toBuffer)
           recordLatency(System.nanoTime() - t0)
+          if (statsEnabled) {
+            prefetchNanos.addAndGet(System.nanoTime() - t0)
+            bytesRead.addAndGet(buf.length.toLong)
+          }
           val stream: InputStream =
             if (buf.length.toLong >= ranged.size || isExhausted(wrapped)) {
               wrapped.close()
@@ -160,7 +187,10 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
   override def hasNext: Boolean = delivered < total
 
   override def next(): (BlockId, InputStream) = {
-    queue.take() match {
+    val w0 = if (statsEnabled) System.nanoTime() else 0L
+    val taken = queue.take()
+    if (statsEnabled) waitNanos += System.nanoTime() - w0
+    taken match {
       case Left(err) =>
         throw new RuntimeException(s"cloud shuffle prefetch failed", err)
       case Right(f) =>
@@ -168,6 +198,7 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
         // release the budget once the task thread owns the buffer: the
         // bytes are handed off, not duplicated
         release(f.buffered)
+        if (statsEnabled && delivered == total) logStatistics()
         (f.blockId, f.stream)
     }
   }

@@ -52,6 +52,10 @@ final class CloudShuffleEnv(val conf: SparkConf, val appId: String) extends Logg
   val maxConcurrencyTask: Int = math.max(1, conf.getInt(MAX_CONCURRENCY_KEY, 10))
   val prefetchEnabled: Boolean = conf.getBoolean(PREFETCH_KEY, defaultValue = true)
   val adaptiveConcurrency: Boolean = conf.getBoolean(ADAPTIVE_KEY, defaultValue = true)
+  /** Per-task read-side statistics (bytes, wait/prefetch time, MiB/s) at
+    * INFO on task completion — reference `S3BufferedPrefetchIterator.scala:
+    * 155-186`. Off by default: zero timing calls on the consumer path. */
+  val readStatistics: Boolean = conf.getBoolean(READ_STATS_KEY, defaultValue = false)
   val cleanupShuffleFiles: Boolean = conf.getBoolean(CLEANUP_KEY, defaultValue = true)
   val relocateMapStatus: Boolean = conf.getBoolean(RELOCATE_KEY, defaultValue = true)
   /** Write-side checksums ride on Spark's own `spark.shuffle.checksum.*`. */
@@ -169,6 +173,7 @@ object CloudShuffleEnv extends Logging {
   val RELOCATE_KEY = "spark.shuffle.cloud.relocateMapStatus"
   val VALIDATE_KEY = "spark.shuffle.cloud.checksum.validate"
   val TRACKER_KEY = "spark.shuffle.cloud.useDriverTracker"
+  val READ_STATS_KEY = "spark.shuffle.cloud.readStatistics"
   val SPARK_FETCH_KEY = "spark.shuffle.cloud.useSparkShuffleFetch"
 
   private val deleteEc: ExecutionContext =

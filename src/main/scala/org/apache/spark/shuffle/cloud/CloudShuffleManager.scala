@@ -39,6 +39,17 @@ class CloudShuffleManager(conf: SparkConf) extends ShuffleManager with Logging {
     require(plugin == classOf[CloudShuffleDataIO].getName,
       s"CloudShuffleManager requires spark.shuffle.sort.io.plugin.class=" +
         s"${classOf[CloudShuffleDataIO].getName} (found '$plugin')")
+    // Push-based shuffle writes ShufflePushBlockId/ShuffleMergedBlockId
+    // blocks through external merger services that never exist on an
+    // object-store layout — the path mapper would only meet them mid-job
+    // as an opaque IllegalArgumentException. Refuse at init with the fix
+    // spelled out (push-based merging is moot when every reducer already
+    // reads merged ranges straight from the store).
+    require(!conf.getBoolean("spark.shuffle.push.enabled", defaultValue = false),
+      "cloud shuffle does not support push-based shuffle; set " +
+        "spark.shuffle.push.enabled=false (merged-block IDs have no " +
+        "object-store path, and server-side merge adds nothing when " +
+        "reducers already read contiguous ranges from the store)")
     // With MapStatus relocation every map output advertises the fallback
     // block manager's fake host, which reduce locality then turns into a
     // preferred location no executor can ever satisfy. Under delay

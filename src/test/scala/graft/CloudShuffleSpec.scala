@@ -49,6 +49,47 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
     finally sc.stop()
   }
 
+  test("push-based shuffle refused at manager init with a clear message") {
+    // merged/push BlockIds have no object-store path; a job that left
+    // spark.shuffle.push.enabled=true must fail at startup, not mid-job
+    // inside the path mapper (VERDICT r2 missing item 1)
+    val ex = intercept[IllegalArgumentException] {
+      new CloudShuffleManager(baseConf("spark.shuffle.push.enabled" -> "true"))
+    }
+    assert(ex.getMessage.contains("spark.shuffle.push.enabled=false"), ex.getMessage)
+  }
+
+  test("read statistics logged per task when enabled") {
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new AbstractAppender("graft-stats-capture", null, null,
+        false, Property.EMPTY_ARRAY) {
+      override def append(event: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.add(event.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    def ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[LoggerContext]
+    try {
+      withSc(baseConf(CloudShuffleEnv.READ_STATS_KEY -> "true")) { sc =>
+        // register AFTER the context starts: Spark's logging init replaces
+        // the log4j2 configuration (dropping earlier appenders)
+        ctx.getConfiguration.getRootLogger.addAppender(appender,
+          org.apache.logging.log4j.Level.INFO, null)
+        ctx.updateLoggers()
+        sc.parallelize(1 to 1000, 4).map(i => (i % 7, i)).reduceByKey(_ + _).collect()
+      }
+      val stats = captured.asScala.filter(_.contains("cloud shuffle read stats"))
+      assert(stats.nonEmpty, "expected per-task read stats lines at INFO")
+      assert(stats.exists(_.contains("MiB/s")), stats.take(3).toSeq)
+    } finally {
+      ctx.getConfiguration.getRootLogger.removeAppender("graft-stats-capture")
+      ctx.updateLoggers()
+    }
+  }
+
   test("foldByKey round trip (sort/unsafe path)") {
     withSc(baseConf()) { sc =>
       val n = 10000
