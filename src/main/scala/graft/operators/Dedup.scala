@@ -132,20 +132,40 @@ object Dedup {
     // share a token within each one's first |X| - ceil(t*|X|) + 1 tokens —
     // so blocking on prefix tokens is LOSSLESS (recall exactly 1, unlike
     // LSH) and still prunes the pair space to candidates sharing a rare
-    // prefix element. The hashed-set order stands in for the canonical
-    // frequency order; a size-ratio filter prunes before verification.
-    // Same expansion as dd04; deterministic output => full DuckDB oracle.
+    // prefix element. Tokens are ordered by ASCENDING GLOBAL FREQUENCY
+    // (the canonical AllPairs order): prefixes then hold each set's
+    // rarest tokens, so blocking buckets are as small as the corpus
+    // allows. Measured via tools/PrefixTune: 29.2k candidates at sf0.01
+    // vs 29.4k under hash order (2.074M vs 2.087M at sf0.1) — a ~1% gain
+    // here because the fixtures' vocabulary is near-uniform; on Zipfian
+    // real-corpus vocabularies this ordering is the difference between
+    // stop-word buckets of O(corpus) and rare-word buckets of O(1), which
+    // is why it's the canonical order at 100 TB. The df dictionary is
+    // vocabulary-sized and broadcasts; at a scale where it doesn't, the
+    // join falls back to a token-keyed shuffle join. A size-ratio filter
+    // prunes before verification. Same expansion as dd04; deterministic
+    // output => full DuckDB oracle.
     "dd07_prefix_join" -> ((s, d) => {
       val w = docs(s, d).select(col("doc_id"), tokenSetHashes(tokens(col("text"))).as("th"))
       val groups = w.groupBy(col("th"))
         .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val reps = groups.select(col("rep_id"), col("th"), size(col("th")).as("n"))
+      // document frequency over the distinct-set space (each set counts
+      // once — duplicate docs must not inflate their tokens' frequency)
+      val tokDf = reps.select(explode(col("th")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       // prefix length n - ceil(0.9n) + 1; 9n/10 exact in IEEE when integral
-      val pref = reps.withColumn("plen",
+      val pref = reps
+        .select(col("rep_id"), col("th"), col("n"), explode(col("th")).as("tok"))
+        .join(broadcast(tokDf), "tok")
+        .groupBy(col("rep_id"), col("th"), col("n"))
+        .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+          st => st.getField("tok")).as("otoks"))
+        .withColumn("plen",
           (col("n") - ceil(col("n") * lit(9.0) / lit(10.0)) + lit(1)).cast("int"))
         .select(col("rep_id"), col("th"), col("n"),
-          explode(slice(col("th"), lit(1), col("plen"))).as("ptok"))
+          explode(slice(col("otoks"), lit(1), col("plen"))).as("ptok"))
       val repPairs = pref
         .select(col("ptok"), col("rep_id").as("ra"), col("th").as("a_th"), col("n").as("na"))
         .join(pref.select(col("ptok"), col("rep_id").as("rb"),
