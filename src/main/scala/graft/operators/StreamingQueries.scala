@@ -36,20 +36,29 @@ object StreamingQueries {
   }
 
   /** Drain `df` through a complete-mode memory sink and return the result
-    * table. Unique sink/checkpoint names per invocation keep repeated runs
-    * (bench passes) independent. */
+    * as a local DataFrame. Unique sink/checkpoint names per invocation
+    * keep repeated runs (bench passes) independent; the checkpoint dir and
+    * the memory-sink temp view are torn down before returning (the sink's
+    * rows live on the driver either way), so repeated verify/bench runs
+    * don't accumulate /tmp state or driver memory. */
   private def drain(s: SparkSession, df: DataFrame,
       mode: String = "complete"): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(mode)
-      .option("checkpointLocation", s"/tmp/graft-ckpt-$name")
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    val sink = s.table(name)
+    val rows = sink.collect()
+    val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
+    s.catalog.dropTempView(name)
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    out
   }
 
   private def dsum(c: org.apache.spark.sql.Column) =
@@ -109,18 +118,20 @@ object StreamingQueries {
       val b = streamEvents(s, d).withWatermark("ts", "10 minutes")
         .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
           col("event_type").as("b_type"), col("ts").as("b_ts"))
-      // the id-ordering predicate must stay out of the STREAMING plan
-      // entirely — even as a filter it gets pushed back into the join
-      // condition, where Spark's watermark state-constraint extractor
-      // fatally trips on the non-time conjunct. So the join emits both
-      // orders (and self-pairs) and the post-drain BATCH rollup keeps
-      // a_id < b_id, which also dedups each unordered pair to one row.
+      // the id-ordering conjunct sits INSIDE the join condition: Spark's
+      // state-constraint extractor only mines the time conjuncts for the
+      // state watermark and carries non-time predicates as residuals
+      // (re-verified on 4.1.2 via tools/StreamJoinProbe — r2 shipped a
+      // both-orders emission believing this threw; it does not in this
+      // shape), so each unordered pair is emitted exactly once and no
+      // self-pairs exist: half the join output of the r2 formulation at
+      // identical state retention (the ±1h window is symmetric).
       val joined = a.join(b,
         col("a_user") === col("b_user") &&
+          col("a_id") < col("b_id") &&
           col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR") &&
           col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
       drain(s, joined, mode = "append")
-        .filter(col("a_id") < col("b_id"))
         .groupBy(col("a_type"), col("b_type"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(abs(unix_micros(col("a_ts")) - unix_micros(col("b_ts"))))
