@@ -9,40 +9,62 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct, processed in partition-
   * sized batches.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB (`fakeDecode`) — what is real and
-  * tested is the Spark-side plumbing: binary schema, metadata extraction,
-  * `mapPartitions` batch shape (the Scala analogue of `mapInPandas`), and
-  * partition-parallel feature extraction with an explicit output schema.
+  * The IMAGE path (`mm02`) is a real codec round trip: payloads are
+  * grayscale PNGs (synthesized deterministically from document bytes,
+  * encoded with `javax.imageio` — the JDK's own codec, headless-safe) and
+  * the decode step is a genuine `ImageIO.read` producing decoded width /
+  * height / pixel statistics. The oracle checks exactly those DECODED
+  * properties, which are pure functions of the source text, so a DuckDB
+  * query can predict them without a PNG codec. The VIDEO frame path
+  * (`mm03`) keeps a clearly-marked byte-arithmetic STUB for the
+  * decode+resize step — no pure-JVM video codec exists in this container —
+  * while its batch fan-out plumbing is real and oracle-gated.
   */
 object Multimodal {
 
-  /** Typed result of the (stubbed) decoder. */
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Int,
-      last_byte: Int, byte_sum_mod: Long, width: Int, height: Int)
+  /** Typed result of the PNG decoder — decoded properties only. */
+  case class MediaFeatures(doc_id: Long, width: Int, height: Int, pix_sum: Long)
 
   /** Typed result of the (stubbed) frame sampler. */
   case class Frame(doc_id: Long, source: String, frame_idx: Int, thumb: Long)
 
-  /** STUB decoder: a real pipeline would decode image bytes here (e.g.
-    * JPEG → pixels). Deterministic fake: "dimensions" derived from content
-    * bytes so downstream grouping/joining behaves like real metadata. */
-  private def fakeDecode(docId: Long, payload: Array[Byte]): MediaFeatures = {
-    var sum = 0L
+  /** Synthesize a real grayscale PNG from content bytes: dimensions are a
+    * deterministic function of the byte count, pixels are the content
+    * bytes written row-major and repeated cyclically. ASCII fixtures give
+    * sample values 0-127, which 8-bit gray PNG round-trips losslessly. */
+  private[graft] def encodePng(content: Array[Byte]): Array[Byte] = {
+    val n = content.length
+    val w = (n % 64) + 1
+    val h = (n % 48) + 2
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
     var i = 0
-    while (i < payload.length) {
-      sum += payload(i) & 0xff
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, if (n > 0) content(i % n) & 0xff else 0)
       i += 1
     }
-    val n = payload.length
-    MediaFeatures(
-      doc_id = docId,
-      n_bytes = n,
-      first_byte = if (n > 0) payload(0) & 0xff else -1,
-      last_byte = if (n > 0) payload(n - 1) & 0xff else -1,
-      byte_sum_mod = sum % 1000,
-      width = (sum % 640).toInt + 1,   // ??? stand-in for decoded width
-      height = (sum % 480).toInt + 1)  // ??? stand-in for decoded height
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: `ImageIO.read` the PNG payload and extract decoded
+    * metadata + a pixel checksum. Runs on executors inside the
+    * `mapPartitions` batch (headless JVM — no display needed). */
+  private[graft] def decodePng(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    MediaFeatures(docId, w, h, sum)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -63,19 +85,26 @@ object Multimodal {
     }),
 
     // mapPartitions feature extraction over binary payloads — the batch
-    // shape a pandas-UDF/mapInPandas pipeline would use, with a typed
-    // output Encoder. The decode itself is the deterministic stub above.
+    // shape a pandas-UDF/mapInPandas pipeline would use, with typed output
+    // Encoders. Two real codec stages: synthesize a grayscale PNG per doc
+    // (javax.imageio encode), then ImageIO.read it back and extract the
+    // DECODED width/height/pixel checksum. The oracle predicts exactly the
+    // decoded properties (pure functions of the text), so a hash-exact
+    // DuckDB check gates a genuine image decode.
     "mm02_feature_extract" -> ((s, d) => {
       import s.implicits._
       val src = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      val features = src.as[(Long, Array[Byte])].mapPartitions { batch =>
-        batch.map { case (id, payload) => fakeDecode(id, payload) }
+        .select(col("doc_id"), col("text").cast("binary").as("raw"))
+      val media = src.as[(Long, Array[Byte])].mapPartitions { batch =>
+        batch.map { case (id, content) => (id, encodePng(content)) }
+      }.toDF("doc_id", "payload")
+      val features = media.as[(Long, Array[Byte])].mapPartitions { batch =>
+        batch.map { case (id, payload) => decodePng(id, payload) }
       }
       features.toDF()
-        .groupBy((col("byte_sum_mod") % 10).as("bucket"))
+        .groupBy((col("pix_sum") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_media"),
-          sum(col("n_bytes")).as("sum_bytes"),
+          sum(col("pix_sum")).as("sum_pix"),
           min(col("width")).as("min_width"),
           max(col("height")).as("max_height"))
     }),
@@ -133,27 +162,28 @@ object Multimodal {
              MAX(thumb) AS max_thumb
       FROM fr GROUP BY source""",
 
-    // the stub decoder is pure byte arithmetic, so the oracle can mirror
-    // it (fixture text is ASCII: codepoint == byte value)
+    // the oracle predicts the DECODED properties of the synthesized PNG —
+    // dims from the byte count, pixel sum from content bytes written
+    // row-major and repeated cyclically (fixture text is ASCII:
+    // codepoint == byte value == gray sample)
     "mm02_feature_extract" -> """
-      WITH f AS (
-        SELECT doc_id,
-               OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes,
-               LIST_SUM(LIST_TRANSFORM(
-                 RANGE(1, LENGTH(text) + 1),
-                 i -> ORD(SUBSTRING(text, i, 1)))) AS byte_sum
+      WITH g AS (
+        SELECT doc_id, text,
+               OCTET_LENGTH(CAST(text AS BLOB)) AS n,
+               (OCTET_LENGTH(CAST(text AS BLOB)) % 64) + 1 AS w,
+               (OCTET_LENGTH(CAST(text AS BLOB)) % 48) + 2 AS h
         FROM documents),
-           g AS (
-        SELECT doc_id, n_bytes,
-               CAST(byte_sum % 1000 AS BIGINT) AS byte_sum_mod,
-               CAST((byte_sum % 640) + 1 AS BIGINT) AS width,
-               CAST((byte_sum % 480) + 1 AS BIGINT) AS height
-        FROM f)
-      SELECT byte_sum_mod % 10 AS bucket, COUNT(*) AS n_media,
-             CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
-             MIN(width) AS min_width,
-             MAX(height) AS max_height
-      FROM g
+           p AS (
+        SELECT doc_id, w, h,
+               CASE WHEN n = 0 THEN 0 ELSE
+                 LIST_SUM(LIST_TRANSFORM(RANGE(0, w * h),
+                   i -> ORD(SUBSTRING(text, (i % n) + 1, 1)))) END AS pix_sum
+        FROM g)
+      SELECT CAST(pix_sum % 10 AS BIGINT) AS bucket, COUNT(*) AS n_media,
+             CAST(SUM(pix_sum) AS BIGINT) AS sum_pix,
+             MIN(w) AS min_width,
+             MAX(h) AS max_height
+      FROM p
       GROUP BY 1"""
   )
 }

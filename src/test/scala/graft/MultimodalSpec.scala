@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The mm02 image path must be a REAL codec round trip: javax.imageio PNG
+  * encode of synthesized payloads, ImageIO.read decode (VERDICT r2 item 8).
+  * These tests pin the decode branch against the closed-form properties
+  * the DuckDB oracle predicts.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import graft.operators.Multimodal.{decodePng, encodePng}
+
+  test("png encode/decode round-trips dimensions and pixel sum") {
+    val content = "The quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val n = content.length
+    val png = encodePng(content)
+    // a real PNG, not a stub: magic bytes + IHDR
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "PNG signature")
+    val f = decodePng(7L, png)
+    assert(f.doc_id == 7L)
+    assert(f.width == (n % 64) + 1)
+    assert(f.height == (n % 48) + 2)
+    val expected = (0 until f.width * f.height)
+      .map(i => (content(i % n) & 0xff).toLong).sum
+    assert(f.pix_sum == expected, "decoded pixels must equal content bytes (lossless gray)")
+  }
+
+  test("empty payload decodes to the degenerate 1x2 black image") {
+    val f = decodePng(0L, encodePng(Array.empty[Byte]))
+    assert(f.width == 1 && f.height == 2 && f.pix_sum == 0L)
+  }
+
+  test("decode is a genuine ImageIO parse: corrupt payload fails") {
+    // a stub would happily hash these bytes; a real decoder rejects them
+    // (ImageIO.read yields no image for unrecognizable input)
+    intercept[Exception] {
+      decodePng(1L, Array.fill[Byte](32)(0x42))
+    }
+  }
+}
