@@ -165,7 +165,7 @@ private[cloud] class CloudMapOutputWriter(env: CloudShuffleEnv, shuffleId: Int,
         s"cloud shuffle corruption: partition lengths sum to $total " +
           s"but $bytesWritten bytes were written")
     }
-    if (total > 0 || env.checksumEnabled) {
+    if (total > 0 || env.checksumEnabled || env.alwaysCreateIndex) {
       CloudShuffleIndex.writeIndex(env, shuffleId, mapId, partitionLengths)
     }
     if (env.checksumEnabled && checksums.nonEmpty) {

@@ -67,6 +67,13 @@ final class CloudShuffleEnv(val conf: SparkConf, val appId: String) extends Logg
     * instead of asking the driver's MapOutputTracker (debug fallback,
     * reference `S3ShuffleReader.scala:182-195`). */
   val useDriverTracker: Boolean = conf.getBoolean(TRACKER_KEY, defaultValue = true)
+  /** Write the index object even for all-empty map outputs (reference
+    * `alwaysCreateIndex`, `S3ShuffleMapOutputWriter.scala:111`). Forced on
+    * in listing mode: an index-less empty map is invisible to a listing,
+    * and the reader's dup-attempt cross-check would then refuse the read
+    * (listed < registered) on a perfectly healthy shuffle. */
+  val alwaysCreateIndex: Boolean =
+    conf.getBoolean(ALWAYS_INDEX_KEY, defaultValue = false) || !useDriverTracker
 
   private val hadoopConf = SparkHadoopUtil.get.newConfiguration(conf)
   val fs: FileSystem = FileSystem.get(URI.create(rootDir), hadoopConf)
@@ -174,6 +181,7 @@ object CloudShuffleEnv extends Logging {
   val VALIDATE_KEY = "spark.shuffle.cloud.checksum.validate"
   val TRACKER_KEY = "spark.shuffle.cloud.useDriverTracker"
   val READ_STATS_KEY = "spark.shuffle.cloud.readStatistics"
+  val ALWAYS_INDEX_KEY = "spark.shuffle.cloud.alwaysCreateIndex"
   val SPARK_FETCH_KEY = "spark.shuffle.cloud.useSparkShuffleFetch"
 
   private val deleteEc: ExecutionContext =

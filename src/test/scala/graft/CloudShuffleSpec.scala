@@ -259,6 +259,22 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("listing mode survives all-empty map outputs with checksums off") {
+    // an empty map writes no data object; without an index it is invisible
+    // to a listing, and the dup-attempt cross-check then refuses the read
+    // (listed < registered) on a healthy shuffle. alwaysCreateIndex is
+    // forced on in listing mode so every committed map stays enumerable
+    // (reference `alwaysCreateIndex`, S3ShuffleMapOutputWriter.scala:111).
+    withSc(baseConf(
+      "spark.shuffle.cloud.useDriverTracker" -> "false",
+      "spark.shuffle.checksum.enabled" -> "false")) { sc =>
+      // 2 records over 6 map partitions: most map outputs are all-empty
+      val data = sc.makeRDD(Seq((1, 10L), (2, 20L)), 6)
+      assert(data.reduceByKey(_ + _, 3).collect().sorted.toSeq ==
+        Seq((1, 10L), (2, 20L)))
+    }
+  }
+
   test("listing mode detects duplicate committed map attempts instead of double-reading") {
     val root = Files.createTempDirectory("cloud-shuffle-dup").toUri.toString
     withSc(baseConf("spark.shuffle.cloud.useDriverTracker" -> "false",
