@@ -13,25 +13,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Relational.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** The operator modules, by name — the single list every aggregate
+    * below (and tools like KeyCheck) derives from, so adding a module in
+    * one place wires it everywhere. */
+  val modules: Seq[(String, (Map[String, (SparkSession, String) => DataFrame],
+      Map[String, String]))] = Seq(
+    "Relational" -> (operators.Relational.queries, operators.Relational.oracles),
+    "Dedup" -> (operators.Dedup.queries, operators.Dedup.oracles),
+    "Similarity" -> (operators.Similarity.queries, operators.Similarity.oracles),
+    "TextAnalysis" -> (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
+    "Multimodal" -> (operators.Multimodal.queries, operators.Multimodal.oracles),
+    "StreamingQueries" -> (operators.StreamingQueries.queries, operators.StreamingQueries.oracles),
+    "Pipelines" -> (operators.Pipelines.queries, operators.Pipelines.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++
-      operators.Dedup.queries ++
-      operators.Similarity.queries ++
-      operators.TextAnalysis.queries ++
-      operators.Multimodal.queries ++
-      operators.StreamingQueries.queries ++
-      operators.Pipelines.queries
+    modules.map(_._2._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those get
     * the driver's weaker rows-only check + ScalaTest invariants). */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++
-      operators.Dedup.oracles ++
-      operators.Similarity.oracles ++
-      operators.TextAnalysis.oracles ++
-      operators.Multimodal.oracles ++
-      operators.StreamingQueries.oracles ++
-      operators.Pipelines.oracles
+    modules.map(_._2._2).reduce(_ ++ _)
 }

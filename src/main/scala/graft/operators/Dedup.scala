@@ -95,6 +95,12 @@ object Dedup {
       //    is the pipeline's working set (used 4×: both band-join sides +
       //    both verify joins) — persist it, as a production dedup job
       //    would (MEMORY_AND_DISK: spills, never recomputes, at any sf).
+      //    Lifecycle: the cache entry lives until session stop (dedup'd
+      //    across calls by the CacheManager's plan matching, so repeated
+      //    runs reuse rather than accumulate); a library consumer running
+      //    this inside a long-lived session should unpersist the returned
+      //    plan's InMemoryRelation after its terminal action — same as
+      //    dd07 below.
       val w = docs(s, d).select(col("doc_id"), tokenSetHashes(tokens(col("text"))).as("th"))
       val groups = w.groupBy(col("th"))
         .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))

@@ -1,14 +1,13 @@
 package graft.tools
 import graft.SparkEntry
+
+/** Dev utility: assert no query-key collisions between operator modules
+  * (a later module's map entry would silently shadow an earlier one in
+  * the SparkEntry merge) and no oracle entries without a query. Derives
+  * the module list from SparkEntry.modules so it cannot drift. */
 object KeyCheck {
   def main(args: Array[String]): Unit = {
-    val mods = Seq(
-      "Relational" -> graft.operators.Relational.queries.keySet,
-      "Dedup" -> graft.operators.Dedup.queries.keySet,
-      "Similarity" -> graft.operators.Similarity.queries.keySet,
-      "TextAnalysis" -> graft.operators.TextAnalysis.queries.keySet,
-      "Multimodal" -> graft.operators.Multimodal.queries.keySet,
-      "StreamingQueries" -> graft.operators.StreamingQueries.queries.keySet)
+    val mods = SparkEntry.modules.map { case (name, (qs, _)) => name -> qs.keySet }
     val sum = mods.map(_._2.size).sum
     val merged = SparkEntry.queries.keySet.size
     println(s"[keycheck] per-module sum=$sum merged=$merged " +

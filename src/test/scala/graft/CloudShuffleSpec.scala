@@ -75,11 +75,16 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
     try {
       withSc(baseConf(CloudShuffleEnv.READ_STATS_KEY -> "true")) { sc =>
         // register AFTER the context starts: Spark's logging init replaces
-        // the log4j2 configuration (dropping earlier appenders)
+        // the log4j2 configuration (dropping earlier appenders). Force the
+        // root level too — an earlier suite's setLogLevel("WARN") persists
+        // across suites in the shared test JVM and would filter INFO
+        // before it reaches any appender.
+        sc.setLogLevel("INFO")
         ctx.getConfiguration.getRootLogger.addAppender(appender,
           org.apache.logging.log4j.Level.INFO, null)
         ctx.updateLoggers()
         sc.parallelize(1 to 1000, 4).map(i => (i % 7, i)).reduceByKey(_ + _).collect()
+        sc.setLogLevel("WARN") // stop INFO spam for the rest of the suite
       }
       val stats = captured.asScala.filter(_.contains("cloud shuffle read stats"))
       assert(stats.nonEmpty, "expected per-task read stats lines at INFO")
