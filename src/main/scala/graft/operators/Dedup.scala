@@ -301,6 +301,23 @@ object Dedup {
       WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
               / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9""",
 
+    // dd04 is probabilistic in general, but on the FIXED fixtures + seed
+    // its measured recall is exactly 1 (NorthStarSpec asserts set equality
+    // vs the exact pairs; 20 bands × 8 rows ⇒ per-pair miss P ≈ 1.3e-5 at
+    // the 0.9 threshold, deterministic given the data) — so the exact
+    // all-pairs SQL is a valid oracle here and upgrades dd04 from the
+    // driver's rows-only check to the full hash-exact gate.
+    "dd04_minhash_lsh_pairs" -> """
+      WITH w AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        FROM documents)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
+               / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) AS jac
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9""",
+
     // exact all-pairs ground truth over the FULL table: dd07 is lossless,
     // so its output is SQL-expressible (unlike the probabilistic dd04)
     "dd07_prefix_join" -> """
