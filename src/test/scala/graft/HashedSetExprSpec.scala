@@ -98,6 +98,61 @@ class HashedSetExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(firstTwo.map(_._1).distinct.size > 1)
   }
 
+  test("rp-lsh probes: packed keys, base subset, and exactly hamming-1 flips") {
+    import graft.functions.VectorOps
+    val tables = 6
+    val bits = 10
+    val df = spark.range(50).selectExpr(
+      "id", "transform(sequence(0, 15), j -> cast(sin(id * 31 + j) as double)) as v")
+      .select(col("id"),
+        VectorOps.rpLshTables(col("v"), tables, bits).as("base"),
+        VectorOps.rpLshProbes(col("v"), tables, bits).as("probes"))
+    df.collect().foreach { r =>
+      val base = r.getSeq[Long](1)
+      val probes = r.getSeq[Long](2)
+      assert(base.length == tables)
+      assert(probes.length == tables * (bits + 1))
+      // base keys decode to (table, bucket) with table in range
+      base.zipWithIndex.foreach { case (k, t) =>
+        assert((k >> bits) == t, "table id must pack above the bucket bits")
+        assert((k & ((1L << bits) - 1)) == (k ^ (t.toLong << bits)))
+      }
+      // probe set per table = the base bucket + every single-bit flip
+      val byTable = probes.grouped(bits + 1).toSeq
+      byTable.zipWithIndex.foreach { case (ps, t) =>
+        val b = base(t) & ((1L << bits) - 1)
+        val expected = (b +: (0 until bits).map(f => b ^ (1L << f)))
+          .map(x => (t.toLong << bits) | x)
+        assert(ps == expected,
+          s"table $t probes must be base + hamming-1 flips in flip order")
+      }
+    }
+  }
+
+  test("nearest-cells argmax matches a brute-force cosine ranking") {
+    import org.apache.spark.sql.graft.NearestCells
+    val cells: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0),
+      Seq(0.5, 0.5, 0.0))
+    val df = spark.range(200).selectExpr(
+      "id",
+      "array(cast(cos(id) as double), cast(sin(id) as double), " +
+        "cast(sin(id * 0.7) as double)) as v")
+      .select(col("id"), col("v"),
+        NearestCells(col("v"), typedlit(cells), 2).as("top2"))
+    df.collect().foreach { r =>
+      val v = r.getSeq[Double](1)
+      def score(c: Seq[Double]): Double = {
+        val dot = v.zip(c).map { case (a, b) => a * b }.sum
+        dot / math.sqrt(c.map(x => x * x).sum)
+      }
+      // brute force: argsort by (score desc, index asc)
+      val expected = cells.indices
+        .sortBy(i => (-score(cells(i)), i)).take(2)
+      assert(r.getSeq[Int](2) == expected, s"row ${r.getLong(0)}")
+    }
+  }
+
   test("jaccardLong edges: identical -> 1, disjoint -> 0, empty vs empty -> 1") {
     val sp = spark; import sp.implicits._
     val df = Seq(

@@ -47,6 +47,21 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(back) == canon(src))
   }
 
+  test("orc sink + source round trip with predicate pushdown") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val src = Tables.load(spark, sf, "supplier")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(canon(back) == canon(src))
+    // ORC scans support filter pushdown like parquet
+    val filtered = back.filter(col("s_suppkey") <= 5)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("s_suppkey"),
+      s"expected pushed filter in ORC scan:\n$scan")
+    assert(filtered.count() ==
+      src.filter(col("s_suppkey") <= 5).count())
+  }
+
   test("partitioned parquet sink prunes on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.load(spark, sf, "orders")
