@@ -37,6 +37,50 @@ object Dedup {
     withinGroup.unionAll(crossGroup)
   }
 
+  /** dd07's blocking+verify pipeline up to the REP level: returns the
+    * persisted exact-dup group table and the verified rep-level pair set
+    * (dd07 expands them to doc pairs; dd09 runs connected components on
+    * the rep graph — identical components, ~100× fewer nodes). */
+  private def prefixRepPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val w = docs(s, d).select(col("doc_id"), tokenSetHashes(tokens(col("text"))).as("th"))
+    val groups = w.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = groups.select(col("rep_id"), col("th"), size(col("th")).as("n"))
+    // document frequency over the distinct-set space (each set counts
+    // once — duplicate docs must not inflate their tokens' frequency)
+    val tokDf = reps.select(explode(col("th")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // prefix length n - ceil(0.9n) + 1; 9n/10 exact in IEEE when integral
+    val pref = reps
+      .select(col("rep_id"), col("th"), col("n"), explode(col("th")).as("tok"))
+      .join(broadcast(tokDf), "tok")
+      .groupBy(col("rep_id"), col("th"), col("n"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+        st => st.getField("tok")).as("otoks"))
+      .withColumn("plen",
+        (col("n") - ceil(col("n") * lit(9.0) / lit(10.0)) + lit(1)).cast("int"))
+      .select(col("rep_id"), col("th"), col("n"),
+        explode(slice(col("otoks"), lit(1), col("plen"))).as("ptok"))
+    val repPairs = pref
+      .select(col("ptok"), col("rep_id").as("ra"), col("th").as("a_th"), col("n").as("na"))
+      .join(pref.select(col("ptok"), col("rep_id").as("rb"),
+        col("th").as("b_th"), col("n").as("nb")), Seq("ptok"))
+      .filter(col("ra") < col("rb") &&
+        col("na") * lit(9) <= col("nb") * lit(10) &&
+        col("nb") * lit(9) <= col("na") * lit(10))
+      .select(col("ra"), col("rb"),
+        jaccardLong(col("a_th"), col("b_th")).as("jac"))
+      .filter(col("jac") >= 0.9)
+      .distinct() // a pair can share several prefix tokens
+    (groups, repPairs)
+  }
+
+  private def prefixJoinPairs(s: SparkSession, d: String): DataFrame = {
+    val (groups, repPairs) = prefixRepPairs(s, d)
+    expandRepPairs(groups, repPairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content fingerprint, keep the smallest doc_id.
     // At 100 TB this is a single hash shuffle on the fingerprint.
@@ -151,40 +195,7 @@ object Dedup {
     // join falls back to a token-keyed shuffle join. A size-ratio filter
     // prunes before verification. Same expansion as dd04; deterministic
     // output => full DuckDB oracle.
-    "dd07_prefix_join" -> ((s, d) => {
-      val w = docs(s, d).select(col("doc_id"), tokenSetHashes(tokens(col("text"))).as("th"))
-      val groups = w.groupBy(col("th"))
-        .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val reps = groups.select(col("rep_id"), col("th"), size(col("th")).as("n"))
-      // document frequency over the distinct-set space (each set counts
-      // once — duplicate docs must not inflate their tokens' frequency)
-      val tokDf = reps.select(explode(col("th")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      // prefix length n - ceil(0.9n) + 1; 9n/10 exact in IEEE when integral
-      val pref = reps
-        .select(col("rep_id"), col("th"), col("n"), explode(col("th")).as("tok"))
-        .join(broadcast(tokDf), "tok")
-        .groupBy(col("rep_id"), col("th"), col("n"))
-        .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
-          st => st.getField("tok")).as("otoks"))
-        .withColumn("plen",
-          (col("n") - ceil(col("n") * lit(9.0) / lit(10.0)) + lit(1)).cast("int"))
-        .select(col("rep_id"), col("th"), col("n"),
-          explode(slice(col("otoks"), lit(1), col("plen"))).as("ptok"))
-      val repPairs = pref
-        .select(col("ptok"), col("rep_id").as("ra"), col("th").as("a_th"), col("n").as("na"))
-        .join(pref.select(col("ptok"), col("rep_id").as("rb"),
-          col("th").as("b_th"), col("n").as("nb")), Seq("ptok"))
-        .filter(col("ra") < col("rb") &&
-          col("na") * lit(9) <= col("nb") * lit(10) &&
-          col("nb") * lit(9) <= col("na") * lit(10))
-        .select(col("ra"), col("rb"),
-          jaccardLong(col("a_th"), col("b_th")).as("jac"))
-        .filter(col("jac") >= 0.9)
-        .distinct() // a pair can share several prefix tokens
-      expandRepPairs(groups, repPairs)
-    }),
+    "dd07_prefix_join" -> ((s, d) => prefixJoinPairs(s, d)),
 
     // SimHash near-dup: 64-bit signature, blocking on 16-bit chunks (a
     // pair within hamming distance 3 shares at least one of 4 chunks),
@@ -256,6 +267,61 @@ object Dedup {
         .filter(col("cos") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
         .distinct()
+    }),
+
+    // Duplicate-cluster CONNECTED COMPONENTS: collapse the verified
+    // near-dup pair set (dd07's lossless edges) into clusters and assign
+    // every document its cluster id (min doc_id reachable; singletons map
+    // to themselves) — the step an actual corpus dedup needs after pair
+    // generation (keep one doc per cluster, not one per pair). Iterative
+    // min-label propagation over hash joins: each round every node adopts
+    // the smallest label among itself and its neighbors; converges in
+    // O(component diameter) rounds (near-dup clusters are near-cliques,
+    // so 2-3 rounds on real corpora). The driver loop only counts changed
+    // labels per round — the label table itself never leaves the cluster
+    // (this is how GraphX/GraphFrames run CC too; at 10⁹+ nodes the
+    // alternating large-star/small-star variant halves the rounds, same
+    // join shape). Exact oracle: DuckDB recursive-CTE reachability.
+    "dd09_dup_components" -> ((s, d) => {
+      // Components are computed on the REP graph (exact-dup groups
+      // collapsed — identical components, ~100× fewer nodes/edges) and
+      // expanded to docs through the membership table at the end.
+      // localCheckpoint (eager) TRUNCATES LINEAGE each round — without it
+      // every iteration's plan embeds all previous rounds and Catalyst
+      // planning goes superlinear (measured: round 6 took 92 s at sf0.01
+      // with persist-only; ~1 s with checkpointing). The blocks live on
+      // executors and are reclaimed by the ContextCleaner. Two propagation
+      // hops per round halve the round count (each round is a fixed
+      // scheduling cost at small scale and a fixed shuffle count at 100 TB).
+      val (groups, repPairs) = prefixRepPairs(s, d)
+      val edges = repPairs.select(col("ra").as("u"), col("rb").as("v"))
+        .unionAll(repPairs.select(col("rb").as("u"), col("ra").as("v")))
+        .localCheckpoint()
+      var labels = groups.select(col("rep_id"), col("rep_id").as("comp_id"))
+        .localCheckpoint()
+      def hopMin(l: DataFrame): DataFrame = {
+        val nbrMin = edges
+          .join(l.withColumnRenamed("rep_id", "u"), "u")
+          .groupBy(col("v").as("rep_id"))
+          .agg(min(col("comp_id")).as("nbr_min"))
+        l.withColumnRenamed("comp_id", "cur")
+          .join(nbrMin, Seq("rep_id"), "left")
+          .select(col("rep_id"),
+            least(col("cur"), coalesce(col("nbr_min"), col("cur"))).as("comp_id"))
+      }
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        val next = hopMin(hopMin(labels))
+          .join(labels.withColumnRenamed("comp_id", "prev"), "rep_id")
+          .localCheckpoint()
+        changed = next.filter(col("comp_id") =!= col("prev")).count()
+        labels = next.select(col("rep_id"), col("comp_id"))
+        rounds += 1
+      }
+      groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
+        .join(labels, "rep_id")
+        .select(col("doc_id"), col("comp_id"))
     }),
 
     // Embedding near-dup: cosine similarity above threshold on a bounded
@@ -330,6 +396,35 @@ object Dedup {
       FROM w a JOIN w b ON a.doc_id < b.doc_id
       WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
               / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9""",
+
+    // exact components via recursive reachability — over the REP graph
+    // (exact-dup sets collapsed, like the Spark side): the doc-level pair
+    // graph is near-clique (avg degree ~400 at sf0.1) and makes the
+    // recursion's per-iteration join explode; the rep graph has the same
+    // components at a tiny fraction of the edges. Membership join maps
+    // every doc to its rep's component at the end.
+    "dd09_dup_components" -> """
+      WITH RECURSIVE w AS (
+        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws
+        FROM documents),
+      g AS (SELECT ws, MIN(doc_id) AS rep_id FROM w GROUP BY ws),
+      m AS (SELECT w.doc_id, g.rep_id FROM w JOIN g USING (ws)),
+      p AS (
+        SELECT a.rep_id AS ra, b.rep_id AS rb
+        FROM g a JOIN g b ON a.rep_id < b.rep_id
+        WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9),
+      e AS (
+        SELECT ra AS u, rb AS v FROM p
+        UNION ALL
+        SELECT rb AS u, ra AS v FROM p),
+      r AS (
+        SELECT rep_id AS node, rep_id AS reach FROM g
+        UNION
+        SELECT e.v AS node, r.reach FROM r JOIN e ON e.u = r.node),
+      comp AS (SELECT node AS rep_id, MIN(reach) AS comp_id FROM r GROUP BY node)
+      SELECT m.doc_id, comp.comp_id
+      FROM m JOIN comp USING (rep_id)""",
 
     "dd06_embedding_neardup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -5,6 +5,7 @@ import graft.functions.VectorOps._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Similarity search over the `embeddings` fixture (SURVEY.md §2.3).
   *
@@ -131,6 +132,32 @@ object Similarity {
         .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // Int8 SCALAR QUANTIZATION of the embedding column — the compression
+    // step a 100 TB vector corpus applies before ANN serving (4× smaller
+    // than float32, 8× than double). Symmetric per-vector scale
+    // (max|x|/127), q = floor(x/scale + 0.5) — floor is bit-exact across
+    // engines, unlike engine-rounding — and per-label reconstruction-error
+    // stats verify the codec end to end. Pure narrow per-row work +
+    // one hash aggregation: embarrassingly parallel.
+    "ss06_scalar_quantization" -> ((s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .withColumn("scale",
+          greatest(array_max(col("v")), -array_min(col("v"))) / lit(127.0))
+      e.select(col("vec_id"), col("label"), col("scale"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("q", when(col("scale") === 0, lit(0.0))
+          .otherwise(floor(col("x") / col("scale") + lit(0.5))))
+        .withColumn("err", when(col("scale") === 0, lit(0.0))
+          .otherwise(col("x") - col("q") * col("scale")))
+        .groupBy(col("label"))
+        .agg(countDistinct(col("vec_id")).as("n_vecs"),
+          max(abs(col("q"))).cast("long").as("max_abs_q"),
+          round(sqrt(
+            sum((col("err") * col("err")).cast(DecimalType(38, 18))).cast(DoubleType)
+              / count(lit(1))), 6).as("rmse"))
+    }),
+
     // Per-label centroid norms — a coarse-quantization (IVF-style) summary:
     // centroid = mean vector per label, computed dimension-wise via
     // posexplode + re-aggregation (pure shuffle ops, linear scale).
@@ -174,6 +201,31 @@ object Similarity {
              ROUND(list_cosine_similarity(q_v, e.v), 6) AS cos_r
       FROM q JOIN e ON q_id != e.vec_id
       WHERE list_cosine_similarity(q_v, e.v) >= 0.3""",
+
+    // mirror of the quantizer math — floor/arithmetic are IEEE-exact in
+    // both engines; the error sum rides the decimal-cast policy
+    "ss06_scalar_quantization" -> """
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      sc AS (
+        SELECT vec_id, label, v,
+               GREATEST(list_max(v), -list_min(v)) / 127.0 AS scale
+        FROM e),
+      x AS (
+        SELECT vec_id, label, scale, u.x AS x
+        FROM sc, LATERAL (SELECT UNNEST(v) AS x) u),
+      q AS (
+        SELECT label, vec_id,
+               CASE WHEN scale = 0 THEN 0.0 ELSE FLOOR(x/scale + 0.5) END AS q,
+               CASE WHEN scale = 0 THEN 0.0
+                    ELSE x - FLOOR(x/scale + 0.5) * scale END AS err
+        FROM x)
+      SELECT label, COUNT(DISTINCT vec_id) AS n_vecs,
+             CAST(MAX(ABS(q)) AS BIGINT) AS max_abs_q,
+             ROUND(SQRT(CAST(SUM(CAST(err * err AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*)), 6) AS rmse
+      FROM q GROUP BY label""",
 
     "ss03_label_centroids" -> """
       WITH expl AS (
