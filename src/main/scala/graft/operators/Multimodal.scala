@@ -28,6 +28,48 @@ object Multimodal {
   /** Typed result of the (stubbed) frame sampler. */
   case class Frame(doc_id: Long, source: String, frame_idx: Int, thumb: Long)
 
+  /** Typed result of the WAV decoder — decoded properties only. */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+      sample_sum: Long, peak: Int)
+
+  /** Synthesize a real PCM WAV clip from content bytes: 8-bit unsigned
+    * mono at 8 kHz, samples are the content bytes repeated cyclically to
+    * a length derived from the byte count. Encoded with
+    * `javax.sound.sampled.AudioSystem` — the JDK's own codec. */
+  private[graft] def encodeWav(content: Array[Byte]): Array[Byte] = {
+    val n = content.length
+    val k = (n % 2000) + 100
+    val pcm = new Array[Byte](k)
+    var i = 0
+    while (i < k) { pcm(i) = if (n > 0) content(i % n) else 0; i += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, k.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: parse the WAV container, read the PCM frames back and
+    * extract decoded sample statistics. */
+  private[graft] def decodeWav(docId: Long, payload: Array[Byte]): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    val buf = ais.readAllBytes()
+    var sum = 0L
+    var peak = 0
+    var i = 0
+    while (i < buf.length) {
+      val v = buf(i) & 0xff
+      sum += v
+      if (v > peak) peak = v
+      i += 1
+    }
+    AudioFeatures(docId, fmt.getSampleRate.toInt, buf.length.toLong, sum, peak)
+  }
+
   /** Synthesize a real grayscale PNG from content bytes: dimensions are a
     * deterministic function of the byte count, pixels are the content
     * bytes written row-major and repeated cyclically. ASCII fixtures give
@@ -109,6 +151,30 @@ object Multimodal {
           max(col("height")).as("max_height"))
     }),
 
+    // The AUDIO path: same two-stage real-codec shape as mm02 — synthesize
+    // a PCM WAV clip per doc (AudioSystem encode), decode it back through
+    // the WAV parser, and roll up DECODED properties (sample rate, frame
+    // count, amplitude sum/peak) per source. The oracle predicts those
+    // from the text alone.
+    "mm04_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val src = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text").cast("binary").as("raw"))
+      val media = src.as[(Long, String, Array[Byte])].mapPartitions { batch =>
+        batch.map { case (id, source, content) => (id, source, encodeWav(content)) }
+      }.toDF("doc_id", "source", "payload")
+      val features = media.as[(Long, String, Array[Byte])].mapPartitions { batch =>
+        batch.map { case (id, source, payload) => (source, decodeWav(id, payload)) }
+      }.toDF("source", "f")
+      features.select(col("source"), col("f.*"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clips"),
+          min(col("sample_rate")).as("min_rate"),
+          sum(col("n_samples")).as("total_samples"),
+          sum(col("sample_sum")).as("total_amplitude"),
+          max(col("peak")).as("max_peak"))
+    }),
+
     // Frame sampling: each payload is treated as a media stream of 64-byte
     // frames; every 4th frame is sampled and "resized" to a thumbnail (a
     // byte-sum stub — a real pipeline would decode + downscale pixels
@@ -146,6 +212,31 @@ object Multimodal {
              COUNT(DISTINCT md5(text)) AS n_distinct,
              MAX(OCTET_LENGTH(CAST(text AS BLOB))) AS max_bytes
       FROM documents
+      GROUP BY source""",
+
+    // decoded-WAV properties predicted from the text: k = (n % 2000) + 100
+    // samples of the content bytes repeated cyclically at 8 kHz
+    "mm04_audio_features" -> """
+      WITH g AS (
+        SELECT doc_id, source, text,
+               OCTET_LENGTH(CAST(text AS BLOB)) AS n,
+               (OCTET_LENGTH(CAST(text AS BLOB)) % 2000) + 100 AS k
+        FROM documents),
+      f AS (
+        SELECT doc_id, source, k,
+               CASE WHEN n = 0 THEN 0 ELSE
+                 LIST_SUM(LIST_TRANSFORM(RANGE(0, k),
+                   i -> ORD(SUBSTRING(text, (i % n) + 1, 1)))) END AS sample_sum,
+               CASE WHEN n = 0 THEN 0 ELSE
+                 LIST_MAX(LIST_TRANSFORM(RANGE(0, LEAST(k, n)),
+                   i -> ORD(SUBSTRING(text, i + 1, 1)))) END AS peak
+        FROM g)
+      SELECT source, COUNT(*) AS n_clips,
+             8000 AS min_rate,
+             CAST(SUM(k) AS BIGINT) AS total_samples,
+             CAST(SUM(sample_sum) AS BIGINT) AS total_amplitude,
+             CAST(MAX(peak) AS INT) AS max_peak
+      FROM f
       GROUP BY source""",
 
     "mm03_frame_sample" -> """

@@ -31,6 +31,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.width == 1 && f.height == 2 && f.pix_sum == 0L)
   }
 
+  test("wav encode/decode round-trips sample rate, frame count and amplitudes") {
+    import graft.operators.Multimodal.{decodeWav, encodeWav}
+    val content = "pack my box with five dozen liquor jugs".getBytes("UTF-8")
+    val n = content.length
+    val wav = encodeWav(content)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF", "a real WAV container")
+    val f = decodeWav(3L, wav)
+    val k = (n % 2000) + 100
+    assert(f.doc_id == 3L && f.sample_rate == 8000 && f.n_samples == k)
+    assert(f.sample_sum == (0 until k).map(i => (content(i % n) & 0xff).toLong).sum)
+    assert(f.peak == content.map(_ & 0xff).max)
+  }
+
   test("decode is a genuine ImageIO parse: corrupt payload fails") {
     // a stub would happily hash these bytes; a real decoder rejects them
     // (ImageIO.read yields no image for unrecognizable input)
