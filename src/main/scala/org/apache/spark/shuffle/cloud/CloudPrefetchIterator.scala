@@ -129,8 +129,11 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
         try {
           acquire(toBuffer)
           acquired = true
+          // memory first, THEN the executor-wide permit: a task parked on
+          // its memory budget must not hold a fetch slot the rest of the
+          // executor could use
           val t0 = System.nanoTime()
-          val buf = readUpTo(wrapped, toBuffer)
+          val buf = env.withFetchPermit(readUpTo(wrapped, toBuffer))
           recordLatency(System.nanoTime() - t0)
           if (statsEnabled) {
             prefetchNanos.addAndGet(System.nanoTime() - t0)

@@ -50,6 +50,33 @@ final class CloudShuffleEnv(val conf: SparkConf, val appId: String) extends Logg
   val readBufferSize: Int = conf.getSizeAsBytes(READ_BUFFER_KEY, "1m").toInt
   val maxBufferSizeTask: Long = conf.getSizeAsBytes(MAX_BUFFER_TASK_KEY, "128m")
   val maxConcurrencyTask: Int = math.max(1, conf.getInt(MAX_CONCURRENCY_KEY, 10))
+  /** Executor-wide cap on concurrent prefetch reads across ALL tasks
+    * (0 = off). The per-task cap alone lets an executor running T tasks
+    * open T×maxConcurrencyTask store connections at once — this bounds
+    * the whole JVM to one connection-pool-sized budget, which is what an
+    * object store actually meters. Beyond the reference, which keeps only
+    * per-task limits (`S3ShuffleDispatcher.scala:55-58`). */
+  val maxConcurrencyExecutor: Int = conf.getInt(MAX_EXEC_CONCURRENCY_KEY, 0)
+
+  private val executorFetchPermits =
+    if (maxConcurrencyExecutor > 0)
+      Some(new java.util.concurrent.Semaphore(maxConcurrencyExecutor, true))
+    else None
+
+  /** Run `f` holding one executor-wide fetch permit (no-op when the cap
+    * is off). Callers must NOT block on per-task budgets inside `f` —
+    * acquire memory first, then the permit, so a memory-stalled task
+    * never starves the whole executor's fetch pool. */
+  private[cloud] def withFetchPermit[T](f: => T): T = executorFetchPermits match {
+    case Some(sem) =>
+      sem.acquire()
+      try f finally sem.release()
+    case None => f
+  }
+
+  /** Observable permit count (-1 when the cap is off) — diagnostics. */
+  def availableFetchPermits: Int =
+    executorFetchPermits.map(_.availablePermits()).getOrElse(-1)
   val prefetchEnabled: Boolean = conf.getBoolean(PREFETCH_KEY, defaultValue = true)
   val adaptiveConcurrency: Boolean = conf.getBoolean(ADAPTIVE_KEY, defaultValue = true)
   /** Per-task read-side statistics (bytes, wait/prefetch time, MiB/s) at
@@ -183,6 +210,7 @@ object CloudShuffleEnv extends Logging {
   val READ_STATS_KEY = "spark.shuffle.cloud.readStatistics"
   val ALWAYS_INDEX_KEY = "spark.shuffle.cloud.alwaysCreateIndex"
   val SPARK_FETCH_KEY = "spark.shuffle.cloud.useSparkShuffleFetch"
+  val MAX_EXEC_CONCURRENCY_KEY = "spark.shuffle.cloud.maxConcurrencyExecutor"
 
   private val deleteEc: ExecutionContext =
     ExecutionContext.fromExecutorService(Executors.newCachedThreadPool { r =>

@@ -264,6 +264,20 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("executor-wide fetch permit cap: correct results, permits returned") {
+    // cap the WHOLE JVM to one concurrent prefetch read: many reduce
+    // tasks contend for the single permit and must still drain every
+    // block (fair semaphore, memory acquired before the permit)
+    withSc(baseConf(CloudShuffleEnv.MAX_EXEC_CONCURRENCY_KEY -> "1")) { sc =>
+      val n = 20000
+      val sums = sc.parallelize(0 until n, 8).map(i => (i % 13, i.toLong))
+        .reduceByKey(_ + _, 7).collect().toMap
+      assert(sums.values.sum == (0L until n).sum)
+      assert(CloudShuffleEnv.get().availableFetchPermits == 1,
+        "all permits must return to the pool after the job")
+    }
+  }
+
   test("listing mode survives all-empty map outputs with checksums off") {
     // an empty map writes no data object; without an index it is invisible
     // to a listing, and the dup-attempt cross-check then refuses the read
