@@ -294,8 +294,13 @@ object Dedup {
       // hops per round halve the round count (each round is a fixed
       // scheduling cost at small scale and a fixed shuffle count at 100 TB).
       val (groups, repPairs) = prefixRepPairs(s, d)
-      val edges = repPairs.select(col("ra").as("u"), col("rb").as("v"))
-        .unionAll(repPairs.select(col("rb").as("u"), col("ra").as("v")))
+      // both edge directions from ONE scan of the (expensive) verified
+      // pair set — a unionAll of two selects would run the prefix-join
+      // subtree twice
+      val edges = repPairs.select(explode(array(
+          struct(col("ra").as("u"), col("rb").as("v")),
+          struct(col("rb").as("u"), col("ra").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .localCheckpoint()
       var labels = groups.select(col("rep_id"), col("rep_id").as("comp_id"))
         .localCheckpoint()

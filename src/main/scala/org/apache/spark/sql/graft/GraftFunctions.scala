@@ -79,6 +79,22 @@ object GraftFunctions {
     ("array_dot_product",
       "_FUNC_(a, b) - dot product of two array<double>",
       args => { arity("array_dot_product", args, 2)
-        ArrayDotProduct(args(0), args(1)) })
+        ArrayDotProduct(args(0), args(1)) }),
+    ("rp_lsh_keys",
+      "_FUNC_(vec, tables, bits, seed, radius) - packed (table<<bits)|bucket " +
+        "random-hyperplane LSH keys of an array<double>; radius 1 adds all " +
+        "hamming-1 probe buckets",
+      args => { arity("rp_lsh_keys", args, 5)
+        new RandomHyperplaneLshProbes(args(0),
+          intLit(args(1), "rp_lsh_keys", "tables"),
+          intLit(args(2), "rp_lsh_keys", "bits"),
+          intLit(args(3), "rp_lsh_keys", "seed").toLong,
+          intLit(args(4), "rp_lsh_keys", "radius")) }),
+    ("nearest_cells",
+      "_FUNC_(vec, codebook, nprobe) - positions of the nprobe nearest " +
+        "codebook cells by cosine (codebook must be a literal array<array<double>>)",
+      args => { arity("nearest_cells", args, 3)
+        new NearestCells(args(0), args(1),
+          intLit(args(2), "nearest_cells", "nprobe")) })
   )
 }

@@ -41,6 +41,18 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(6) == 11.0)
   }
 
+  test("lsh + ivf kernels are callable from SQL") {
+    val r = spark.sql(
+      """SELECT size(rp_lsh_keys(array(1.0D, -2.0D, 0.5D), 4, 3, 42, 0)) AS base,
+        |       size(rp_lsh_keys(array(1.0D, -2.0D, 0.5D), 4, 3, 42, 1)) AS probes,
+        |       nearest_cells(array(1.0D, 0.0D),
+        |                     array(array(0.0D, 1.0D), array(1.0D, 0.0D)), 1) AS cells
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 4 * (3 + 1))
+    assert(r.getSeq[Int](2) == Seq(1), "cosine argmax must pick the aligned cell")
+  }
+
   test("SQL results agree with the Column API") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._
