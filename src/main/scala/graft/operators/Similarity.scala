@@ -39,19 +39,22 @@ object Similarity {
         .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
     }),
 
-    // ANN via multi-table random-hyperplane LSH: 8 tables × 4 sign bits;
-    // a candidate meets a query if they collide in ANY table; exact cosine
-    // re-ranks the (deduplicated) candidates.
+    // ANN via multi-probe random-hyperplane LSH: 8 tables × 6 sign bits,
+    // corpus indexed at radius 0, queries probe radius 1 (bucket + every
+    // 1-bit flip) — a candidate meets a query if some table's signatures
+    // differ in ≤ 1 bit. vs the r2 single-probe 8×4: +2 bits cuts each
+    // random bucket 4×, and query-side multi-probe more than recovers
+    // the recall (recall@5 measured in NorthStarSpec). The corpus index
+    // stays one row per (vector, table) — probing only amplifies the
+    // tiny query side, never the corpus.
     "ss02_ann_lsh_topk" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
       // ids-only through the bucket join + distinct (vector arrays must
       // not ride the candidate shuffle); vectors re-join for scoring
-      val keyed = emb(s, d).select(col("vec_id"),
-        explode(rpLshTables(col("embedding"), tables = 8, bitsPerTable = 4)).as("tbk"))
-      val q = keyed.filter(col("vec_id") < 10)
-        .select(col("tbk"), col("vec_id").as("q_id"))
-      val c = keyed.filter(col("vec_id") >= 10)
-        .select(col("tbk"), col("vec_id").as("c_id"))
+      val q = emb(s, d).filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+        explode(rpLshProbes(col("embedding"), tables = 8, bitsPerTable = 6)).as("tbk"))
+      val c = emb(s, d).filter(col("vec_id") >= 10).select(col("vec_id").as("c_id"),
+        explode(rpLshTables(col("embedding"), tables = 8, bitsPerTable = 6)).as("tbk"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("c_id"))
       q.join(c, Seq("tbk"))

@@ -127,10 +127,11 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val recall = annPairs.intersect(exact).size.toDouble / exact.size
     info(f"ANN recall@5 vs exact top-5: $recall%.2f")
-    // 8 hyperplanes over 10 queries on random data: recall is modest by
-    // design (single-probe); assert it's clearly better than chance.
-    // chance ≈ 5/490 per query ⇒ ~0.01; observed ≈ 0.3+ on the fixtures
-    assert(recall > 0.05, f"ANN recall $recall%.3f not better than chance")
+    // 8 tables × 6 bits with query-side radius-1 multi-probe: measured
+    // 0.86 on the fixtures (deterministic for the fixed seed); the bound
+    // leaves headroom for fixture regeneration, not for regressions back
+    // to single-probe quality
+    assert(recall >= 0.6, f"ANN recall $recall%.3f below the multi-probe bar")
   }
 
   test("ivf ann probes cells and reports recall") {
