@@ -50,7 +50,11 @@ class ConcurrentQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val names = Seq(
       "q01_pricing_summary", "q05_regional_revenue", "q09_order_size_histogram",
       "q13_grouping_sets", "q17_topk_per_group", "q30_event_daily",
-      "dd01_exact_dedup", "tx02_quality_scores")
+      "dd01_exact_dedup", "tx02_quality_scores",
+      // the r3 shapes with driver-side coordination: dd09's iterative
+      // label-propagation loop (localCheckpoint per round) and ss04's
+      // quantizer-training collect inside the query builder
+      "dd09_dup_components", "ss04_ann_ivf_topk")
 
     def run(name: String): Set[String] =
       SparkEntry.queries(name)(spark, sf).collect()
