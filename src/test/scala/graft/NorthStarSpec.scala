@@ -94,6 +94,22 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     val frac = candidates.toDouble / allPairs
     info(f"candidates=$candidates of $allPairs pairs ($frac%.4f)")
     assert(frac <= 0.15, f"candidate volume $frac%.4f of all pairs — blocking too loose")
+    // the SCALE.md claim, measured: at a REAL near-dup threshold
+    // (cos ≥ 0.8, per-bit agreement p ≈ 0.8 vs 0.63 at the fixture's
+    // 0.4) the same machinery needs only a handful of tables and the
+    // random-pair candidate volume collapses below 1%
+    val t8 = 6; val b8 = 16
+    val idx8 = e.select(col("vec_id").as("b_id"),
+      explode(VectorOps.rpLshTables(col("v"), t8, b8)).as("tbk"))
+    val prb8 = e.select(col("vec_id").as("a_id"),
+      explode(VectorOps.rpLshProbes(col("v"), t8, b8)).as("tbk"))
+    val cand8 = prb8.join(idx8, Seq("tbk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct().count()
+    val frac8 = cand8.toDouble / allPairs
+    info(f"cos-0.8-tuned config (6×16, r1): candidates=$cand8 ($frac8%.4f)")
+    assert(frac8 <= 0.01,
+      f"high-threshold config should be sub-1%% of pairs, got $frac8%.4f")
   }
 
   test("simhash chunk blocking is lossless for hamming <= 3 (pigeonhole)") {
