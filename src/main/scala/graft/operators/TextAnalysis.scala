@@ -101,6 +101,32 @@ object TextAnalysis {
         .filter(col("rk") <= 3)
     }),
 
+    // Corpus-relative quality scoring (CCNet-style): a document's
+    // common-token density = mean corpus frequency of its token
+    // instances. Boilerplate scores high, rare-vocabulary docs low — the
+    // corpus-statistics complement to tx02's intra-document ratios.
+    // Numerics: the score is assembled from EXACT integer sums (token
+    // instance counts) and divided once at the end — no float
+    // accumulation, so the result is shuffle-order-independent and
+    // engine-exact (the tx06 rational-scoring discipline). Shape: explode
+    // → corpus tf agg → broadcast dictionary join → per-doc integer sum →
+    // global top-k (TakeOrderedAndProject). Linear at any scale.
+    "tx08_common_token_density" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val nTotal = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(tf), "tok")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("sum_cnt"), count(lit(1)).as("n_tok"))
+        .crossJoin(broadcast(nTotal))
+        .select(col("doc_id"),
+          round(col("sum_cnt").cast("double")
+            / (col("n_tok") * col("n_total")), 9).as("density"),
+          col("n_tok"))
+        .orderBy(col("density").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Deterministic train/val/test split: rank docs per source by content
     // hash (md5 — identical in every engine, unlike rand()), cut at
     // 80/90%. The standard reproducible-split op for training pipelines:
@@ -156,6 +182,26 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer sums + single final division mirror the Spark side exactly
+    "tx08_common_token_density" -> """
+      WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      nt AS (SELECT COUNT(*) AS n_total FROM toks),
+      per_doc AS (
+        SELECT t.doc_id,
+               CAST(SUM(tf.cnt) AS BIGINT) AS sum_cnt,
+               COUNT(*) AS n_tok
+        FROM toks t JOIN tf USING (tok)
+        GROUP BY t.doc_id)
+      SELECT doc_id,
+             ROUND(CAST(sum_cnt AS DOUBLE) / (n_tok * nt.n_total), 9) AS density,
+             n_tok
+      FROM per_doc, nt
+      ORDER BY density DESC, doc_id
+      LIMIT 20""",
+
     "tx05_shingle_jaccard" -> """
       WITH w AS (
         SELECT doc_id,
