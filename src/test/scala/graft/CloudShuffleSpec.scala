@@ -170,11 +170,34 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
-  test("checksum validation accepts clean data") {
-    withSc(baseConf("spark.shuffle.cloud.checksum.validate" -> "true")) { sc =>
-      val result = sc.parallelize(0 until 1000, 4).map(i => (i % 10, i))
-        .reduceByKey(_ + _, 3).collect()
-      assert(result.length == 10)
+  test("checksum validation accepts clean data (all three algorithms)") {
+    // Spark's writers compute per-partition checksums with the configured
+    // algorithm; our validator must agree with each of them
+    for (algo <- Seq("ADLER32", "CRC32", "CRC32C")) {
+      CloudShuffleEnv.reset()
+      withSc(baseConf(
+        "spark.shuffle.cloud.checksum.validate" -> "true",
+        "spark.shuffle.checksum.algorithm" -> algo)) { sc =>
+        val result = sc.parallelize(0 until 1000, 4).map(i => (i % 10, i))
+          .reduceByKey(_ + _, 3).collect()
+        assert(result.length == 10, s"algorithm $algo")
+      }
+    }
+  }
+
+  test("shuffle round trip under zstd and snappy compression codecs") {
+    // stream framing differs per codec; the reader decompresses exactly
+    // what the write side encoded (and batch-fetch legality depends on
+    // concatenatable codecs — exercised by the contiguous-range merge)
+    for (codec <- Seq("zstd", "snappy")) {
+      CloudShuffleEnv.reset()
+      withSc(baseConf("spark.io.compression.codec" -> codec)) { sc =>
+        val got = sc.parallelize(0 until 5000, 6).map(i => (i % 17, i.toLong))
+          .reduceByKey(_ + _, 5).collect().toMap
+        val exp = (0 until 5000).groupBy(_ % 17)
+          .map { case (k, vs) => (k, vs.map(_.toLong).sum) }
+        assert(got == exp, s"codec $codec")
+      }
     }
   }
 
