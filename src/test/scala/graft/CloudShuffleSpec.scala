@@ -201,6 +201,23 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("shuffle round trip with IO encryption enabled") {
+    // encrypted streams: the reader must decrypt exactly what the write
+    // side encrypted (serializerManager.wrapStream both ways) and the
+    // batch-fetch legality gate must refuse to merge ranges (encrypted
+    // per-partition framing is not concatenatable)
+    withSc(baseConf(
+      "spark.authenticate" -> "true",
+      "spark.authenticate.secret" -> "graft-test-secret",
+      "spark.io.encryption.enabled" -> "true")) { sc =>
+      val got = sc.parallelize(0 until 3000, 5).map(i => (i % 11, i.toLong))
+        .reduceByKey(_ + _, 4).collect().toMap
+      val exp = (0 until 3000).groupBy(_ % 11)
+        .map { case (k, vs) => (k, vs.map(_.toLong).sum) }
+      assert(got == exp)
+    }
+  }
+
   test("checksum validation detects corruption") {
     val conf = baseConf("spark.shuffle.cloud.checksum.validate" -> "true")
     val root = conf.get("spark.shuffle.cloud.rootDir")
