@@ -54,38 +54,6 @@ private[cloud] class CloudShuffleReader[K, C](
     shouldBatchFetch && serializerRelocatable && codecConcat && !encrypted
   }
 
-  /** Merge runs of contiguous reduce partitions of the same map output into
-    * single ShuffleBlockBatchId ranges. */
-  private def mergeContiguous(blocks: Seq[(BlockId, Long)]): Seq[(BlockId, Long)] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(BlockId, Long)]
-    var run: ShuffleBlockBatchId = null
-    var runSize = 0L
-    def flush(): Unit = if (run != null) {
-      val id = if (run.endReduceId - run.startReduceId == 1)
-        ShuffleBlockId(run.shuffleId, run.mapId, run.startReduceId)
-      else run
-      out += ((id, runSize))
-      run = null
-    }
-    blocks.foreach {
-      case (b: ShuffleBlockId, size) =>
-        if (run != null && run.shuffleId == b.shuffleId && run.mapId == b.mapId &&
-            run.endReduceId == b.reduceId) {
-          run = ShuffleBlockBatchId(run.shuffleId, run.mapId, run.startReduceId, b.reduceId + 1)
-          runSize += size
-        } else {
-          flush()
-          run = ShuffleBlockBatchId(b.shuffleId, b.mapId, b.reduceId, b.reduceId + 1)
-          runSize = size
-        }
-      case (other, size) =>
-        flush()
-        out += ((other, size))
-    }
-    flush()
-    out.toSeq
-  }
-
   private def reduceRange(blockId: BlockId): (Int, Long, Int, Int) = blockId match {
     case ShuffleBlockId(s, m, r)           => (s, m, r, r + 1)
     case ShuffleBlockBatchId(s, m, rs, re) => (s, m, rs, re)
@@ -145,7 +113,7 @@ private[cloud] class CloudShuffleReader[K, C](
 
   override def read(): Iterator[Product2[K, C]] = {
     val rawBlocks = if (env.useDriverTracker) blocksByTracker() else blocksByListing()
-    val blocks = if (batchFetchAllowed) mergeContiguous(rawBlocks) else rawBlocks
+    val blocks = if (batchFetchAllowed) CloudShuffleReader.mergeContiguous(rawBlocks) else rawBlocks
 
     readMetrics.incRemoteBlocksFetched(blocks.size)
 
@@ -219,5 +187,40 @@ private[cloud] class CloudShuffleReader[K, C](
       case None =>
         aggregatedIter
     }
+  }
+}
+
+object CloudShuffleReader {
+
+  /** Merge runs of contiguous reduce partitions of the same map output into
+    * single ShuffleBlockBatchId ranges. */
+  private[cloud] def mergeContiguous(blocks: Seq[(BlockId, Long)]): Seq[(BlockId, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(BlockId, Long)]
+    var run: ShuffleBlockBatchId = null
+    var runSize = 0L
+    def flush(): Unit = if (run != null) {
+      val id = if (run.endReduceId - run.startReduceId == 1)
+        ShuffleBlockId(run.shuffleId, run.mapId, run.startReduceId)
+      else run
+      out += ((id, runSize))
+      run = null
+    }
+    blocks.foreach {
+      case (b: ShuffleBlockId, size) =>
+        if (run != null && run.shuffleId == b.shuffleId && run.mapId == b.mapId &&
+            run.endReduceId == b.reduceId) {
+          run = ShuffleBlockBatchId(run.shuffleId, run.mapId, run.startReduceId, b.reduceId + 1)
+          runSize += size
+        } else {
+          flush()
+          run = ShuffleBlockBatchId(b.shuffleId, b.mapId, b.reduceId, b.reduceId + 1)
+          runSize = size
+        }
+      case (other, size) =>
+        flush()
+        out += ((other, size))
+    }
+    flush()
+    out.toSeq
   }
 }

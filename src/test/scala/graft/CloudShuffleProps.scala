@@ -5,7 +5,7 @@ import java.nio.file.Files
 import scala.util.Random
 
 import org.apache.spark.SparkConf
-import org.apache.spark.storage.ShuffleDataBlockId
+import org.apache.spark.storage.{BlockId, ShuffleBlockBatchId, ShuffleBlockId, ShuffleDataBlockId}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property-style tests (seeded, 100 trials each — SURVEY.md §5) for the
@@ -97,6 +97,32 @@ class CloudShuffleProps extends AnyFunSuite {
         corrupted(at) = (corrupted(at) ^ 0x41).toByte
         intercept[org.apache.spark.SparkException](readAll(corrupted))
       }
+    }
+  }
+
+  test("mergeContiguous covers exactly the input reduce set, batches only runs") {
+    val rng = new Random(11)
+    (1 to 100).foreach { trial =>
+      // a reducer's fetch list: per map output, a sorted set of reduce ids
+      // (usually contiguous after AQE coalescing, with random gaps here)
+      val blocks = (0 until 1 + rng.nextInt(5)).flatMap { m =>
+        val rs = (0 until 1 + rng.nextInt(12)).filter(_ => rng.nextBoolean())
+        rs.map(r => (ShuffleBlockId(7, m.toLong, r): BlockId, 1L + rng.nextInt(100)))
+      }
+      val merged = CloudShuffleReader.mergeContiguous(blocks)
+      // expansion returns exactly the original (map, reduce) cells
+      val expanded = merged.flatMap {
+        case (b: ShuffleBlockBatchId, _) =>
+          // batches are only emitted for runs of length >= 2
+          assert(b.endReduceId - b.startReduceId >= 2, s"trial $trial: $b")
+          (b.startReduceId until b.endReduceId).map(r => (b.mapId, r))
+        case (b: ShuffleBlockId, _) => Seq((b.mapId, b.reduceId))
+        case (other, _) => fail(s"unexpected id $other")
+      }
+      assert(expanded == blocks.map { case (b: ShuffleBlockId, _) => (b.mapId, b.reduceId) },
+        s"trial $trial: merge must preserve order and coverage")
+      // sizes are preserved in total and per contiguous run
+      assert(merged.map(_._2).sum == blocks.map(_._2).sum, s"trial $trial sizes")
     }
   }
 }
