@@ -551,6 +551,15 @@ object Relational {
   /** DuckDB-oracle SQL twins. Bare table names resolve against the same
     * parquet fixtures the Spark side reads. */
   val oracles: Map[String, String] = Map(
+    // ts01 is self-validating: the Spark side computes the TeraValidate
+    // verdict distributed (per-partition order + boundary checks + count),
+    // and this oracle pins the only correct outcome — any dropped /
+    // duplicated / misordered record flips a column and fails the gate
+    "ts01_terasort" -> """
+      SELECT CAST(8000000 AS BIGINT) AS n_rows,
+             CAST(1 AS INT) AS within_sorted,
+             CAST(1 AS INT) AS globally_sorted""",
+
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
