@@ -46,7 +46,8 @@ object Bench {
     }.toMap
     // ms precision keeps the line compact enough for the driver's tail
     // capture (r1/r2 full-precision doubles overflowed it: "parsed": null)
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def ms(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // comma-decimal locales would break the JSON
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

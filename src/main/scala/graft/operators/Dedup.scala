@@ -324,6 +324,12 @@ object Dedup {
         labels = next.select(col("rep_id"), col("comp_id"))
         rounds += 1
       }
+      // a silent truncation would return wrong cluster ids — fail loudly
+      // (50 two-hop rounds cover component diameters no real near-dup
+      // corpus approaches; hitting the cap means something is off)
+      require(changed == 0,
+        s"dd09: label propagation did not converge within $rounds rounds " +
+          s"($changed labels still changing)")
       groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
         .join(labels, "rep_id")
         .select(col("doc_id"), col("comp_id"))

@@ -14,5 +14,7 @@ object KeyCheck {
       (if (sum == merged) "OK" else "COLLISION!"))
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     println(s"[keycheck] oracles without queries: $orphans")
+    // scripted callers must see failure as failure, not a log line
+    if (sum != merged || orphans.nonEmpty) sys.exit(1)
   }
 }

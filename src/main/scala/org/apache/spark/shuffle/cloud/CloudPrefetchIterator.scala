@@ -131,12 +131,19 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
           acquired = true
           // memory first, THEN the executor-wide permit: a task parked on
           // its memory budget must not hold a fetch slot the rest of the
-          // executor could use
-          val t0 = System.nanoTime()
-          val buf = env.withFetchPermit(readUpTo(wrapped, toBuffer))
-          recordLatency(System.nanoTime() - t0)
+          // executor could use. The clock starts INSIDE the permit —
+          // queue wait must not pollute the adaptive controller's
+          // store-latency signal or the MiB/s statistics.
+          var readNanos = 0L
+          val buf = env.withFetchPermit {
+            val t0 = System.nanoTime()
+            val b = readUpTo(wrapped, toBuffer)
+            readNanos = System.nanoTime() - t0
+            b
+          }
+          recordLatency(readNanos)
           if (statsEnabled) {
-            prefetchNanos.addAndGet(System.nanoTime() - t0)
+            prefetchNanos.addAndGet(readNanos)
             bytesRead.addAndGet(buf.length.toLong)
           }
           val stream: InputStream =

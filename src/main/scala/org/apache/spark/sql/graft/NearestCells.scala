@@ -41,11 +41,17 @@ case class NearestCells(left: Expression, right: Expression, nprobe: Int)
     else base
   }
 
-  // materialized codebook + norms, built once per task from the literal
-  @transient private var cells: Array[Array[Double]] = _
-  @transient private var invNorms: Array[Double] = _
+  // materialized codebook + norms, built once per task from the literal.
+  // Published as one immutable holder through a volatile field: even if an
+  // instance were shared across threads, a reader sees either null or a
+  // fully-built pair (value-identical rebuilds are harmless).
+  private final class Codebook(val cells: Array[Array[Double]],
+      val invNorms: Array[Double])
+  @transient @volatile private var codebookCache: Codebook = _
 
-  private def ensureCodebook(codebook: Any): Unit = if (cells == null) {
+  private def ensureCodebook(codebook: Any): Codebook = {
+    val cached = codebookCache
+    if (cached != null) return cached
     val arr = codebook.asInstanceOf[ArrayData]
     val k = arr.numElements()
     val cs = new Array[Array[Double]](k)
@@ -60,12 +66,15 @@ case class NearestCells(left: Expression, right: Expression, nprobe: Int)
       ns(i) = if (s > 0) 1.0 / math.sqrt(s) else 0.0
       i += 1
     }
-    cells = cs
-    invNorms = ns
+    val built = new Codebook(cs, ns)
+    codebookCache = built
+    built
   }
 
   override protected def nullSafeEval(vecAny: Any, codebook: Any): Any = {
-    ensureCodebook(codebook)
+    val cb = ensureCodebook(codebook)
+    val cells = cb.cells
+    val invNorms = cb.invNorms
     val v = vecAny.asInstanceOf[ArrayData].toDoubleArray()
     val k = cells.length
     val n = math.min(nprobe, k)
@@ -90,7 +99,12 @@ case class NearestCells(left: Expression, right: Expression, nprobe: Int)
       var bestScore = Double.NegativeInfinity
       i = 0
       while (i < k) {
-        if (!taken(i) && scores(i) > bestScore) { best = i; bestScore = scores(i) }
+        // `best == -1` seeds with the first untaken index, so NaN scores
+        // (every comparison false) can never leave best at -1 — the
+        // selection stays total and deterministic on adversarial input
+        if (!taken(i) && (best == -1 || scores(i) > bestScore)) {
+          best = i; bestScore = scores(i)
+        }
         i += 1
       }
       taken(best) = true

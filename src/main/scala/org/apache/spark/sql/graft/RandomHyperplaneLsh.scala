@@ -41,30 +41,31 @@ case class RandomHyperplaneLshProbes(child: Expression, tables: Int,
 
   // Hyperplane components are row-independent — materialize the whole
   // (tables·bits) × dim matrix once per task on first eval (the per-row
-  // XXH64 recomputation was ~100× the dot-product cost). Benign race:
-  // concurrent builders produce identical arrays.
-  @transient private var planeDim: Int = -1
-  @transient private var planes: Array[Double] = _
+  // XXH64 recomputation was ~100× the dot-product cost). Published as one
+  // immutable holder through a volatile field: a cross-thread reader sees
+  // null or a fully-built matrix, never a partial one (value-identical
+  // rebuilds are harmless).
+  private final class Planes(val dim: Int, val m: Array[Double])
+  @transient @volatile private var planesCache: Planes = _
 
   private def planesFor(n: Int): Array[Double] = {
-    if (planeDim != n) {
-      val nPlanes = tables * bitsPerTable
-      val m = new Array[Double](nPlanes * n)
-      var p = 0
-      while (p < nPlanes) {
-        var j = 0
-        while (j < n) {
-          // component (p, j) of plane p: uniform in [-1, 1], deterministic
-          val h = XXH64.hashLong(p.toLong << 32 | j, seed)
-          m(p * n + j) = ((h % 1000001L + 1000001L) % 1000001L).toDouble / 500000.0 - 1.0
-          j += 1
-        }
-        p += 1
+    val cached = planesCache
+    if (cached != null && cached.dim == n) return cached.m
+    val nPlanes = tables * bitsPerTable
+    val m = new Array[Double](nPlanes * n)
+    var p = 0
+    while (p < nPlanes) {
+      var j = 0
+      while (j < n) {
+        // component (p, j) of plane p: uniform in [-1, 1], deterministic
+        val h = XXH64.hashLong(p.toLong << 32 | j, seed)
+        m(p * n + j) = ((h % 1000001L + 1000001L) % 1000001L).toDouble / 500000.0 - 1.0
+        j += 1
       }
-      planes = m
-      planeDim = n
+      p += 1
     }
-    planes
+    planesCache = new Planes(n, m)
+    m
   }
 
   override protected def nullSafeEval(input: Any): Any = {

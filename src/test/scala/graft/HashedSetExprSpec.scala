@@ -153,6 +153,18 @@ class HashedSetExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nearest-cells is total on adversarial input (NaN vectors, zero cells)") {
+    import org.apache.spark.sql.graft.NearestCells
+    val cells: Seq[Seq[Double]] = Seq(Seq(0.0, 0.0), Seq(1.0, 0.0))
+    // NaN components make every score comparison false; the selection must
+    // still return nprobe valid positions (lowest untaken first), not crash
+    val rows = spark.sql(
+      "SELECT array(cast('NaN' as double), cast(1.0 as double)) AS v")
+      .select(NearestCells(col("v"), typedlit(cells), 2).as("top"))
+      .collect()
+    assert(rows.head.getSeq[Int](0).sorted == Seq(0, 1))
+  }
+
   test("jaccardLong edges: identical -> 1, disjoint -> 0, empty vs empty -> 1") {
     val sp = spark; import sp.implicits._
     val df = Seq(
