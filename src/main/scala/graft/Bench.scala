@@ -48,7 +48,16 @@ object Bench {
     // capture (r1/r2 full-precision doubles overflowed it: "parsed": null)
     def ms(v: Double): String = if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // comma-decimal locales would break the JSON
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    // r3's line STILL overflowed the tail budget by ~100 bytes (the head
+    // with "metric"/"value"/"total" was cut → "parsed": null): 72 full
+    // query names ≈ 2.1 kB of keys alone. Report each query under its
+    // unique id prefix (q01_pricing_summary → q01, dd04_... → dd04) —
+    // saves ~1.1 kB and the ids stay unambiguous (asserted below).
+    def short(name: String): String = name.takeWhile(_ != '_')
+    require(results.keys.map(short).toSet.size == results.size,
+      "shortened bench keys must stay unique")
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + short(k) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

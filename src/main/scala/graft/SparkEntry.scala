@@ -21,6 +21,7 @@ object SparkEntry {
     "Relational" -> (operators.Relational.queries, operators.Relational.oracles),
     "Dedup" -> (operators.Dedup.queries, operators.Dedup.oracles),
     "Similarity" -> (operators.Similarity.queries, operators.Similarity.oracles),
+    "Clustering" -> (operators.Clustering.queries, operators.Clustering.oracles),
     "TextAnalysis" -> (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
     "Multimodal" -> (operators.Multimodal.queries, operators.Multimodal.oracles),
     "StreamingQueries" -> (operators.StreamingQueries.queries, operators.StreamingQueries.oracles),

@@ -41,7 +41,7 @@ object Dedup {
     * persisted exact-dup group table and the verified rep-level pair set
     * (dd07 expands them to doc pairs; dd09 runs connected components on
     * the rep graph — identical components, ~100× fewer nodes). */
-  private def prefixRepPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def prefixRepPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val w = docs(s, d).select(col("doc_id"), tokenSetHashes(tokens(col("text"))).as("th"))
     val groups = w.groupBy(col("th"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))
@@ -73,6 +73,13 @@ object Dedup {
         jaccardLong(col("a_th"), col("b_th")).as("jac"))
       .filter(col("jac") >= 0.9)
       .distinct() // a pair can share several prefix tokens
+      // the VERIFIED pair set feeds both dd07's doc-pair expansion and
+      // dd09's component loop (which re-reads it as both edge directions):
+      // persist it like the group table — the CacheManager's plan matching
+      // then shares one materialization across the ops in a session, and a
+      // production dedup pipeline would checkpoint this table regardless
+      // (it is the expensive join's output and is ~|near-dup pairs| small)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (groups, repPairs)
   }
 
@@ -290,9 +297,27 @@ object Dedup {
       // every iteration's plan embeds all previous rounds and Catalyst
       // planning goes superlinear (measured: round 6 took 92 s at sf0.01
       // with persist-only; ~1 s with checkpointing). The blocks live on
-      // executors and are reclaimed by the ContextCleaner. Two propagation
-      // hops per round halve the round count (each round is a fixed
-      // scheduling cost at small scale and a fixed shuffle count at 100 TB).
+      // executors and are reclaimed by the ContextCleaner.
+      //
+      // ACTION ECONOMY (the r3→r4 rework): an iterative DataFrame loop is
+      // billed per Spark ACTION, not per row — every eager checkpoint and
+      // every convergence count() is a full plan→schedule→run cycle, a
+      // fixed cost at test scale and a cluster-wide barrier at 100 TB
+      // (measured: r3's loop ran ~13 actions; each cost ~3 s on the
+      // contended bench host → dd09 42 s while the same data converged in
+      // ~5 s on an idle rig). So: (a) FOUR min-label hops per checkpointed
+      // round — one action covers 4 propagation hops; (b) NO per-round
+      // convergence count — rounds run "blind" and a single edge-
+      // consistency check afterwards proves the fixpoint: labels only
+      // decrease and start at own id, so if comp_id(u) == comp_id(v) on
+      // EVERY edge, each component carries one uniform label L; the
+      // component's min node m only ever lowers its label, L = label(m)
+      // <= m, and every label is some reachable node's id >= m — hence
+      // L = m exactly, the min-label fixpoint. Violations == 0 is a
+      // convergence CERTIFICATE, not a heuristic. (c) If the certificate
+      // fails (component diameter beyond what the blind rounds cover —
+      // not seen on any fixture, but reachable by adversarial chain
+      // graphs), fall back to counted rounds until it holds.
       val (groups, repPairs) = prefixRepPairs(s, d)
       // both edge directions from ONE scan of the (expensive) verified
       // pair set — a unionAll of two selects would run the prefix-join
@@ -302,6 +327,11 @@ object Dedup {
           struct(col("rb").as("u"), col("ra").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .localCheckpoint()
+      // a k-hop round references its input 2^k times (each hop reads the
+      // label table on both sides of its join), so the input MUST be a
+      // checkpointed leaf — a lazy init would splice 16 copies of the
+      // upstream subtree into round 1's plan (measured: 6 s vs 1.2 s at
+      // sf0.1 for the identical round otherwise)
       var labels = groups.select(col("rep_id"), col("rep_id").as("comp_id"))
         .localCheckpoint()
       def hopMin(l: DataFrame): DataFrame = {
@@ -314,22 +344,28 @@ object Dedup {
           .select(col("rep_id"),
             least(col("cur"), coalesce(col("nbr_min"), col("cur"))).as("comp_id"))
       }
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 25) {
-        val next = hopMin(hopMin(labels))
-          .join(labels.withColumnRenamed("comp_id", "prev"), "rep_id")
-          .localCheckpoint()
-        changed = next.filter(col("comp_id") =!= col("prev")).count()
-        labels = next.select(col("rep_id"), col("comp_id"))
-        rounds += 1
+      def step(l: DataFrame): DataFrame = hopMin(hopMin(hopMin(hopMin(l))))
+      def violations(l: DataFrame): Long = edges
+        .join(l.select(col("rep_id").as("u"), col("comp_id").as("lu")), "u")
+        .join(l.select(col("rep_id").as("v"), col("comp_id").as("lv")), "v")
+        .filter(col("lu") =!= col("lv")).count()
+      // 2 blind rounds = 8 hops of label travel; every fixture's rep graph
+      // has diameter <= 8 (measured via tools/Dd09Probe: labels stable
+      // after round 2 at sf0.1, earlier at smaller sf)
+      labels = step(step(labels).localCheckpoint()).localCheckpoint()
+      var v = violations(labels)
+      var extraRounds = 0
+      while (v > 0 && extraRounds < 25) {
+        labels = step(labels).localCheckpoint()
+        v = violations(labels)
+        extraRounds += 1
       }
       // a silent truncation would return wrong cluster ids — fail loudly
-      // (50 two-hop rounds cover component diameters no real near-dup
-      // corpus approaches; hitting the cap means something is off)
-      require(changed == 0,
-        s"dd09: label propagation did not converge within $rounds rounds " +
-          s"($changed labels still changing)")
+      // (25 four-hop fallback rounds = 100+ hops of diameter; hitting the
+      // cap means something is off, not that the graph is merely large)
+      require(v == 0,
+        s"dd09: label propagation did not converge ($v inconsistent edges " +
+          s"after $extraRounds fallback rounds)")
       groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
         .join(labels, "rep_id")
         .select(col("doc_id"), col("comp_id"))

@@ -500,10 +500,12 @@ object Relational {
     // benchmark shape; no SQL oracle — self-validating like TeraValidate) --
     "ts01_terasort" -> ((s, d) => {
       import s.implicits._
-      // 2M deterministic records: range-partition + sort-within on a
+      // 8M deterministic records: range-partition + sort-within on a
       // pseudo-random key = the TeraSort plan, through the active shuffle
       // manager. mapPartitions validates order in the same pass, so the
       // sort cannot be optimized away (TeraValidate's job, fused).
+      // NOTE: the ts01 oracle in `oracles` pins this exact count (8000000)
+      // in its expected verdict row — the two constants change together.
       val n = 8000000L
       val recs = s.range(n).select(xxhash64(col("id")).as("key"))
       val sorted = recs.repartitionByRange(32, col("key"))

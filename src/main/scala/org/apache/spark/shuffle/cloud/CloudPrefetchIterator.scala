@@ -42,15 +42,28 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
   private val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
   private val prefetchNanos = new java.util.concurrent.atomic.AtomicLong(0L)
   private var waitNanos = 0L // consumer thread only
+  private val statsLogged = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  // Early-terminating consumers (limit/take) never reach delivered == total,
+  // so the drain-side emission below would silently drop their tasks from
+  // the per-task stats sample (ADVICE r3). A task-completion listener
+  // catches those; the AtomicBoolean makes the emission exactly-once
+  // whichever path fires first. Outside a task (unit tests) the drain-side
+  // emission is the only path — same behavior as before.
+  if (statsEnabled) {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ => logStatistics() }
+  }
 
   private def logStatistics(): Unit = {
+    if (!statsLogged.compareAndSet(false, true)) return
     val totalNanos = math.max(1L, System.nanoTime() - startNanos)
     val bR = bytesRead.get()
     val tP = prefetchNanos.get() / 1000000
     val tW = waitNanos / 1000000
     val n = math.max(1, total)
     val mibs = if (tP > 0) bR.toDouble / (tP.toDouble / 1000) / (1024 * 1024) else 0.0
-    logInfo(f"cloud shuffle read stats: $total blocks, $bR bytes, " +
+    logInfo(f"cloud shuffle read stats: $delivered/$total blocks, $bR bytes, " +
       f"$tW ms waiting (${tW / n} avg), $tP ms prefetching (${tP / n} avg, " +
       f"${bR / n} block size, $mibs%.1f MiB/s). " +
       f"Total: ${totalNanos / 1000000} ms - ${100 * waitNanos / totalNanos}%% waiting. " +

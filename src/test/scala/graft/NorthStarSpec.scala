@@ -37,7 +37,10 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lsh = rows("dd04_minhash_lsh_pairs")
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // LSH verifies candidates with exact jaccard, so no false positives;
-    // 16 bands × 4 rows ⇒ P(miss | jac≥0.9) ≈ 4e-8 per pair ⇒ equality here
+    // 20 bands × 8 rows (Dedup dd04) ⇒ P(miss | jac≥0.9) ≈ 1.3e-5 per pair
+    // ⇒ <1 expected miss on the fixtures' threshold-edge pairs ⇒ equality
+    // here (deterministic for the fixed seed + fixtures — the same claim
+    // that justifies dd04's exact all-pairs DuckDB oracle)
     assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
     assert(exact == lsh,
       s"LSH missed ${exact.diff(lsh).size} of ${exact.size} ground-truth pairs")
@@ -163,7 +166,11 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     val recall = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
       .intersect(exact).size.toDouble / exact.size
     info(f"IVF recall@5 vs exact top-5: $recall%.2f")
-    assert(recall > 0.05, f"IVF recall $recall%.3f not better than chance")
+    // r4: the trained k-means codebook (Clustering.trainKMeans) measures
+    // 0.84 on the fixtures, up from the per-label stand-in; deterministic
+    // training makes the number reproducible, the bar leaves headroom for
+    // fixture regeneration only
+    assert(recall >= 0.5, f"IVF recall $recall%.3f below the trained-codebook bar")
   }
 
   test("exact dedup keeps one representative per fingerprint") {
