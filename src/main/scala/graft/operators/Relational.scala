@@ -538,6 +538,46 @@ object Relational {
           min(col("boundary_ok").cast("int")).as("globally_sorted"))
     }),
 
+    // --- correlated EXISTS / NOT EXISTS subqueries --------------------------
+    // Catalyst decorrelates both predicates into a left-semi and a
+    // left-anti hash join on o_custkey — no per-row subquery execution,
+    // the plan is two shuffled joins that scale like any equi join.
+    "q44_exists_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_q44_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_q44_orders")
+      s.sql("""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM graft_q44_customer c
+        WHERE EXISTS (SELECT 1 FROM graft_q44_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM graft_q44_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment""")
+    }),
+
+    // --- RANGE-frame window (time-interval sliding aggregate) ---------------
+    // RANGE over the event-time ORDER BY: each row's frame is the trailing
+    // hour of ITS OWN timestamp — the per-key sliding aggregate every
+    // sessionization/rate-limiting pipeline needs. One shuffle on user_id,
+    // then a sort-based window; peers (equal ts) share a frame so the
+    // result is deterministic. Decimal sum keeps the trailing total
+    // order-independent and bit-identical across engines.
+    "q45_range_window" -> ((s, d) => {
+      Tables.load(s, d, "events").createOrReplaceTempView("graft_q45_events")
+      s.sql("""
+        SELECT user_id, event_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+               COUNT(*) OVER w AS n_1h
+        FROM graft_q45_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+    }),
+
     // --- array ops ---------------------------------------------------------
     "q31_embedding_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -553,6 +593,28 @@ object Relational {
   /** DuckDB-oracle SQL twins. Bare table names resolve against the same
     * parquet fixtures the Spark side reads. */
   val oracles: Map[String, String] = Map(
+    "q44_exists_subquery" -> """
+      SELECT c_mktsegment,
+             COUNT(*) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 150000)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderstatus = 'F'
+                          AND o2.o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment""",
+
+    "q45_range_window" -> """
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+             COUNT(*) OVER w AS n_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+
     // ts01 is self-validating: the Spark side computes the TeraValidate
     // verdict distributed (per-partition order + boundary checks + count),
     // and this oracle pins the only correct outcome — any dropped /

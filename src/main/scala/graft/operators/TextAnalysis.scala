@@ -154,8 +154,56 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"),
           fingerprint(col("text")).as("fp"),
           substring(fingerprint(col("text")), 1, 8).as("fp_prefix"))
+    }),
+
+    // Repetition filtering (the Gopher/MassiveText repetition rules):
+    // per-document max token frequency, duplicate-token coverage (how many
+    // token instances belong to a token that repeats), and max bigram
+    // frequency — the signals that gate boilerplate/spam out of a training
+    // corpus. Shape: ZERO shuffle — each metric is a run-length fold over
+    // the document's own sorted token/bigram array (functions.aggregate),
+    // so the whole operator is map-side; at 100 TB it is a pure scan with
+    // no exchange at all (the oracle computes the same metrics the
+    // explode+groupBy way — two independent algorithms, one answer).
+    "tx09_repetition" -> ((s, d) => {
+      val ws = tokens(col("text"))
+      val bg = org.apache.spark.sql.graft.TextSignatures.bigrams(ws)
+      val tokStats = runLengthStats(sort_array(ws))
+      val bgStats = runLengthStats(sort_array(bg))
+      docs(s, d)
+        .select(col("doc_id"),
+          size(ws).cast("long").as("n_tokens"),
+          size(array_distinct(ws)).cast("long").as("n_distinct"),
+          tokStats.getField("max_run").cast("long").as("max_tok_freq"),
+          tokStats.getField("dup_cov").cast("long").as("dup_coverage"),
+          bgStats.getField("max_run").cast("long").as("max_bigram_freq"))
     })
   )
+
+  /** Fold a SORTED array into (longest run, total elements in runs > 1) —
+    * equal values are adjacent after the sort, so one linear pass gives
+    * exact per-value frequencies without exploding the array into rows.
+    * The map-side kernel behind tx09's repetition metrics. */
+  private def runLengthStats(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("mx"), lit(0).as("cov")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1)
+          .otherwise(lit(1))
+        // closing a run of length > 1 adds its length to the coverage
+        val cov = when(x === st.getField("prev"), st.getField("cov"))
+          .otherwise(st.getField("cov") +
+            when(st.getField("run") > 1, st.getField("run")).otherwise(lit(0)))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("mx"), run).as("mx"), cov.as("cov"))
+      },
+      st => struct(
+        st.getField("mx").as("max_run"),
+        (st.getField("cov") +
+          when(st.getField("run") > 1, st.getField("run")).otherwise(lit(0)))
+          .as("dup_cov")))
 
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -182,6 +230,31 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // independent algorithm: explode + per-(doc,token) counts vs the Spark
+    // side's map-only run-length fold — same integers either way
+    "tx09_repetition" -> """
+      WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           toks AS (SELECT doc_id, UNNEST(ws) AS tok FROM sp),
+           tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+           tstats AS (
+             SELECT doc_id,
+                    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                    CAST(MAX(cnt) AS BIGINT) AS max_tok_freq,
+                    CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT)
+                      AS dup_coverage
+             FROM tf GROUP BY 1),
+           bgs AS (SELECT doc_id,
+                          UNNEST(list_transform(range(2, LEN(ws) + 1),
+                            i -> ws[i - 1] || ' ' || ws[i])) AS bigram
+                   FROM sp),
+           bf AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bgs GROUP BY 1, 2),
+           bstats AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_bigram_freq
+                      FROM bf GROUP BY 1)
+      SELECT t.doc_id, t.n_tokens, t.n_distinct, t.max_tok_freq,
+             t.dup_coverage, COALESCE(b.max_bigram_freq, 0) AS max_bigram_freq
+      FROM tstats t LEFT JOIN bstats b USING (doc_id)""",
+
     // integer sums + single final division mirror the Spark side exactly
     "tx08_common_token_density" -> """
       WITH toks AS (
