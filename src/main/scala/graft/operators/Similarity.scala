@@ -20,6 +20,40 @@ object Similarity {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
+  // ss07 product-quantization shape: 64 dims = 8 subspaces × 8 dims,
+  // 16 cells per subspace (4-bit codes → 4 bytes/vector), trained like
+  // the IVF codebook; ADC shortlists PqShortlist candidates per query
+  // before the exact re-rank
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqK = 16
+  private[graft] val PqIters = 4
+  private[graft] val PqShortlist = 64
+
+  // one deterministic model per (fixture, shape) — memoized like
+  // Clustering.codebookFor: the quantizer is trained once and SERVED
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
+
+  /** Train the m per-subspace codebooks on the UNIT-NORMALIZED corpus side
+    * (vec_id >= 10 — queries don't train the index). Deterministic: each
+    * subspace reuses [[Clustering.trainKMeans]] (fixed seeds, fixed iters,
+    * decimal-sum updates) on its slice of the normalized vectors. */
+  private[graft] def pqCodebooks(s: SparkSession, d: String,
+      m: Int, subDim: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] =
+    pqCache.computeIfAbsent((d, m, subDim, k, iters), _ => {
+      val e = emb(s, d).filter(col("vec_id") >= 10)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v0"))
+        .withColumn("nrm", norm(col("v0")))
+        .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try (0 until m).map { j =>
+        Clustering.trainKMeans(
+          e.select(col("vec_id"), slice(col("v"), j * subDim + 1, subDim).as("v")),
+          k, iters)
+      } finally e.unpersist()
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-5 neighbors for 10 query vectors by brute-force cosine.
     "ss01_cosine_topk" -> ((s, d) => {
@@ -146,6 +180,56 @@ object Similarity {
           round(sqrt(
             sum((col("err") * col("err")).cast(DecimalType(38, 18))).cast(DoubleType)
               / count(lit(1))), 6).as("rmse"))
+    }),
+
+    // PRODUCT QUANTIZATION ANN (Jégou et al., "Product Quantization for
+    // Nearest Neighbor Search"): the 64-dim unit vector splits into 8
+    // 8-dim subvectors, each quantized against its own 16-cell codebook
+    // trained with the deterministic k-means tier — 8 codes = 4 bytes per
+    // vector, a 64× compression of the float32 embedding. Search is the
+    // production two-stage shape: (1) ADC — decode each corpus row ONCE
+    // map-side (codes → concatenated centroids; per-query LUTs are the
+    // SIMD variant of the same per-subspace-dot sum) and rank against the
+    // broadcast query set; (2) exact re-rank of only the PqShortlist ADC
+    // survivors with full vectors. The corpus at rest stays 4-byte codes;
+    // full vectors are touched for |queries|·shortlist rows only — at
+    // 100 TB that is the difference between scanning 100 TB of floats and
+    // ~1.5 TB of codes. Both window passes partition by q_id, so Catalyst
+    // plans ONE exchange for the whole ranking tail (plan-guarded).
+    // Recall and reconstruction cosine are spec-bounded in NorthStarSpec
+    // (no SQL oracle: Lloyd's iteration is not SQL-expressible).
+    "ss07_pq_topk" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v0"))
+        .withColumn("nrm", norm(col("v0")))
+        .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
+      val cbs = pqCodebooks(s, d, PqM, PqSubDim, PqK, PqIters)
+      def subv(j: Int) = slice(col("v"), j * PqSubDim + 1, PqSubDim)
+      val codes = array((0 until PqM).map(j =>
+        element_at(org.apache.spark.sql.graft.NearestCells(
+          subv(j), typedlit(cbs(j)), 1), 1)): _*)
+      // decode once per corpus row: codes -> concatenated sub-centroids
+      val recon = flatten(array((0 until PqM).map(j =>
+        element_at(typedlit(cbs(j)), element_at(col("codes"), j + 1) + 1)): _*))
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), codes.as("codes"))
+        .select(col("c_id"), recon.as("c_recon"))
+      val qs = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id"))
+      val shortlist = qs.crossJoin(corpus)
+        .select(col("q_id"), col("q_v"), col("c_id"),
+          dot(col("q_v"), col("c_recon")).as("adc"))
+        .select(col("q_id"), col("q_v"), col("c_id"),
+          row_number().over(wAdc).as("adc_rank"))
+        .filter(col("adc_rank") <= PqShortlist)
+      // exact re-rank of the shortlist only (vectors re-join by id)
+      val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      shortlist
+        .join(e.select(col("vec_id").as("c_id"), col("v").as("c_v")), "c_id")
+        .select(col("q_id"), col("c_id"), cosineD(col("q_v"), col("c_v")).as("cos"))
+        .select(col("q_id"), col("c_id"), col("cos"), row_number().over(wCos).as("rank"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
     }),
 
     // Per-label centroid norms — a coarse-quantization (IVF-style) summary:

@@ -64,6 +64,105 @@ object StreamingQueries {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
+  /** st06's drained stream-stream LEFT OUTER interval join, one row per
+    * join output (sentinels already filtered): clicks left-joined to the
+    * same user's purchases in the following hour.
+    *
+    * Outer emission is watermark-driven (an unmatched left row may only be
+    * emitted once the watermark proves no match can still arrive), and a
+    * drained file stream's watermark stalls at max(ts) - delay — which
+    * would withhold the last hour's unmatched rows forever. The harness
+    * stages the fixture into a temp dir followed by two far-future
+    * sentinel files processed as later microbatches (maxFilesPerTrigger=1,
+    * mtime-ordered): the first advances the watermark past all real data,
+    * the second gives the engine a batch that runs WITH that watermark and
+    * flushes every real unmatched left. Sentinels carry negative ids and
+    * are filtered after the drain. This is exactly how a production
+    * pipeline closes the books on an outer join — advance event time, not
+    * wall-clock time. */
+  private[graft] def st06Drained(s: SparkSession, d: String): DataFrame =
+    drainWithSentinels(s, d) { src =>
+      val clicks = src.filter(col("event_type") === "click")
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+          col("ts").as("a_ts"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+          col("ts").as("b_ts"))
+      clicks.join(purchases,
+        col("a_user") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+    }.filter(col("a_user") >= 0)
+
+  /** Build the sentineled event stream (fixture + two far-future sentinel
+    * microbatches that advance the watermark past the tail — see st06's
+    * Scaladoc), apply `build`, drain append-mode, clean up the staging
+    * dir. Sentinel rows carry negative user/event ids (one 'click' + one
+    * 'purchase' per sentinel file so every filtered substream's watermark
+    * advances) — callers filter them from the drained output. */
+  private def drainWithSentinels(s: SparkSession, d: String)
+      (build: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val srcDir = Files.createTempDirectory("graft-st06-src")
+    try {
+      val fixture = srcDir.resolve("events.parquet")
+      Files.copy(Paths.get(s"$d/events.parquet"), fixture,
+        StandardCopyOption.REPLACE_EXISTING)
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val tsIsNanosLong =
+        rawSchema("ts").dataType == org.apache.spark.sql.types.LongType
+      // one click + one purchase sentinel per file so BOTH join inputs'
+      // watermarks advance (the join watermark is their min)
+      def writeSentinel(name: String, isoTs: String, mtime: Long): Unit = {
+        val us = java.time.Instant.parse(isoTs).toEpochMilli * 1000L
+        val rows = Seq(("click", -1L), ("purchase", -2L)).map { case (tpe, id) =>
+          org.apache.spark.sql.Row.fromSeq(rawSchema.fields.map(_.name).map {
+            case "event_id" => id
+            case "ts" => if (tsIsNanosLong) us * 1000L
+                         else java.sql.Timestamp.from(
+                           java.time.Instant.ofEpochSecond(us / 1000000L,
+                             (us % 1000000L) * 1000L))
+            case "user_id" => id
+            case "event_type" => tpe
+            case "value" => 0.0
+            case "props" => "{}"
+          }.toSeq)
+        }
+        // the source lists FILES only (it does not descend into a
+        // directory-shaped parquet output), so stage the write and move
+        // the single part file into place as a plain file
+        val stage = Files.createTempDirectory("graft-st06-stage")
+        try {
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), rawSchema)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = Files.list(stage).filter(p =>
+            p.getFileName.toString.startsWith("part-")).findFirst().get()
+          val out = srcDir.resolve(name)
+          Files.move(part, out, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(out,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+        }
+      }
+      val t0 = Files.getLastModifiedTime(fixture).toMillis
+      writeSentinel("sentinel1.parquet", "2030-01-01T00:00:00Z", t0 + 60000)
+      writeSentinel("sentinel2.parquet", "2030-02-01T00:00:00Z", t0 + 120000)
+      val raw = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val src = if (tsIsNanosLong)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw
+      drain(s, build(src), mode = "append")
+    } finally {
+      // the drain is synchronous; the staged source dir can go at once
+      org.apache.commons.io.FileUtils.deleteQuietly(srcDir.toFile)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Watermarked tumbling-window aggregation, executed by the streaming
     // engine (state store + per-microbatch shuffle), checked against the
@@ -138,6 +237,50 @@ object StreamingQueries {
             .as("sum_gap_us"))
     }),
 
+    // Stream-stream LEFT OUTER interval join — the attribution/funnel
+    // query: every click, matched to the same user's purchases in the
+    // following hour, clicks WITHOUT a purchase emitted with nulls (see
+    // st06Drained for the watermark close-out harness).
+    "st06_stream_left_outer" -> ((s, d) => {
+      st06Drained(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("b_id")).as("n_matched"),
+          sum(when(col("b_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          countDistinct(col("a_id")).as("n_clicks"),
+          coalesce(sum(unix_micros(col("b_ts")) - unix_micros(col("a_ts"))),
+            lit(0L)).as("sum_gap_us"))
+    }),
+    // CHAINED STATEFUL operators — a stream-stream interval join feeding a
+    // tumbling-window aggregation in ONE streaming job (append mode; two
+    // state stores, two per-microbatch stateful shuffles). This is the
+    // shape Spark only supports natively since 3.5/4.x and the one a real
+    // attribution pipeline runs: join clicks→purchases, then aggregate
+    // attributed revenue-gap stats per purchase hour. Window finalization
+    // is watermark-driven like st06's outer emissions, so the sentinel
+    // harness closes the last windows too. Oracle: the batch join+rollup.
+    "st07_stream_join_agg" -> ((s, d) => {
+      drainWithSentinels(s, d) { src =>
+        val clicks = src.filter(col("event_type") === "click")
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+            col("ts").as("a_ts"))
+        val purchases = src.filter(col("event_type") === "purchase")
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+            col("ts").as("b_ts"))
+        clicks.join(purchases,
+            col("a_user") === col("b_user") &&
+              col("b_ts") >= col("a_ts") &&
+              col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+          .groupBy(window(col("b_ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_attributed"),
+            sum(unix_micros(col("b_ts")) - unix_micros(col("a_ts")))
+              .as("sum_gap_us"))
+          .select(col("window.start").as("win_start"),
+            col("n_attributed"), col("sum_gap_us"))
+      }.filter(year(col("win_start")) < lit(2030))
+    }),
+
     // Per-user session windows (30-minute gap): the streaming engine's
     // session merging vs DuckDB's gaps-and-islands formulation.
     "st02_stream_sessions" -> ((s, d) => {
@@ -153,6 +296,38 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st06_stream_left_outer" -> """
+      WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                 FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                 FROM events WHERE event_type = 'purchase'),
+           j AS (SELECT c.event_id AS a_id, p.event_id AS b_id,
+                        p.us - c.us AS gap
+                 FROM c LEFT JOIN p
+                   ON c.user_id = p.user_id
+                  AND p.us >= c.us AND p.us <= c.us + 3600000000)
+      SELECT COUNT(*) AS n_rows,
+             CAST(COUNT(b_id) AS BIGINT) AS n_matched,
+             CAST(SUM(CASE WHEN b_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched,
+             CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_clicks,
+             CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us
+      FROM j""",
+
+    "st07_stream_join_agg" -> """
+      WITH c AS (SELECT user_id, epoch_us(ts) AS us
+                 FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, ts, epoch_us(ts) AS us
+                 FROM events WHERE event_type = 'purchase'),
+           j AS (SELECT p.ts AS b_ts, p.us - c.us AS gap
+                 FROM c JOIN p
+                   ON c.user_id = p.user_id
+                  AND p.us >= c.us AND p.us <= c.us + 3600000000)
+      SELECT CAST(DATE_TRUNC('hour', b_ts) AS TIMESTAMP) AS win_start,
+             COUNT(*) AS n_attributed,
+             CAST(SUM(gap) AS BIGINT) AS sum_gap_us
+      FROM j GROUP BY 1""",
+
     "st01_stream_tumbling" -> """
       SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS win_start,
              CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS win_end,

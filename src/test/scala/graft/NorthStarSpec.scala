@@ -73,6 +73,40 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"LSH recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("PQ top-k: usable recall vs exact cosine top-k, and codes compress") {
+    val exact = rows("ss01_cosine_topk")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = rows("ss07_pq_topk")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size == exact.size, "both are top-5 per query")
+    // 2-byte codes (4 × 4-bit) against 256-byte float64 vectors: recall
+    // can't be perfect; the bound is what the trained 4×16 codebook
+    // actually achieves on the fixtures (deterministic training — the
+    // measured value is stable, bounded with slack for fixture drift)
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall@5 $recall (${pq.intersect(exact).size}/${exact.size})")
+    // reconstruction sanity: decoded vectors point the way the originals
+    // do — mean cosine(v, decode(encode(v))) across the corpus
+    import graft.functions.VectorOps
+    import graft.operators.Similarity.{PqM, PqSubDim, PqK, PqIters, pqCodebooks}
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v0"))
+      .withColumn("nrm", VectorOps.norm(col("v0")))
+      .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
+      .filter(col("vec_id") >= 10)
+    val cbs = pqCodebooks(spark, sf, PqM, PqSubDim, PqK, PqIters)
+    val codes = array((0 until PqM).map(j =>
+      element_at(org.apache.spark.sql.graft.NearestCells(
+        slice(col("v"), j * PqSubDim + 1, PqSubDim), typedlit(cbs(j)), 1), 1)): _*)
+    val recon = flatten(array((0 until PqM).map(j =>
+      element_at(typedlit(cbs(j)), element_at(col("codes"), j + 1) + 1)): _*))
+    val meanCos = e.select(col("v"), codes.as("codes"))
+      .select(col("v"), recon.as("r"))
+      .select(avg(VectorOps.cosineD(col("v"), col("r"))).as("c"))
+      .collect()(0).getDouble(0)
+    assert(meanCos >= 0.5, s"mean reconstruction cosine $meanCos")
+  }
+
   test("embedding LSH candidate volume is a small fraction of all pairs") {
     // The scale property VERDICT r2 flagged: the round-2 config (8 tables
     // × 4 bits) made ~41% of ALL pairs candidates — half a cross join.

@@ -79,6 +79,65 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q44: correlated EXISTS / NOT EXISTS decorrelate into semi and anti joins") {
+    val p = plan("q44_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become a left-anti join:\n$p")
+    assert(!p.contains("NestedLoop"),
+      s"decorrelation must yield equi joins, not per-row subqueries:\n$p")
+  }
+
+  test("q45: RANGE-frame window is one shuffle + one window pass") {
+    val p = plan("q45_range_window")
+    assert(p.contains("Window"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected a single hash exchange on user_id, got $exchanges:\n$p")
+  }
+
+  test("tx09: repetition metrics run with ZERO exchanges (pure map)") {
+    val p = plan("tx09_repetition")
+    assert(!p.contains("Exchange"),
+      s"per-doc run-length folds must not shuffle:\n$p")
+  }
+
+  test("dd11: canonical dedup is a single hash shuffle with map-side partial agg") {
+    val p = plan("dd11_tokenset_dedup")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one exchange on the canonical key, got $exchanges:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"partial+final aggregation expected:\n$p")
+  }
+
+  test("ss07: the corpus streams into ADC scoring unshuffled; later shuffles are shortlist-sized") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other.children.flatMap(flatten)
+    })
+    val exec = SparkEntry.queries("ss07_pq_topk")(spark, sf).queryExecution.executedPlan
+    val nodes = flatten(exec)
+    def hasShuffle(p: SparkPlan): Boolean = flatten(p).exists(_.isInstanceOf[ShuffleExchangeLike])
+    def hasScan(p: SparkPlan): Boolean = flatten(p).exists(_.nodeName.contains("Scan"))
+    // the ADC join = queries broadcast × corpus streaming: some join node
+    // must have a broadcast child and a scan-rooted, shuffle-free other
+    // child — the 100 TB property (codes scored where the corpus lives)
+    val adcJoinOk = nodes.exists { n =>
+      n.nodeName.contains("Join") && n.children.exists(c =>
+        flatten(c).exists(_.isInstanceOf[BroadcastExchangeLike])) &&
+        n.children.exists(c => hasScan(c) && !hasShuffle(c) &&
+          !flatten(c).exists(_.isInstanceOf[BroadcastExchangeLike]))
+    }
+    assert(adcJoinOk, s"corpus must reach the ADC join without an exchange:\n$exec")
+    // everything after the ADC scoring ranks |queries|·shortlist rows:
+    // a handful of tiny exchanges, never a second corpus-sized one
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 3, s"unexpected shuffle count $shuffles:\n$exec")
+    assert(nodes.count(_.nodeName.contains("Window")) >= 2,
+      s"ADC shortlist + exact re-rank windows expected:\n$exec")
+  }
+
   test("dd04/dd07: verification runs inside the candidate join stage (no pair shuffle)") {
     import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
