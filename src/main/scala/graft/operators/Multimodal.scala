@@ -199,7 +199,94 @@ object Multimodal {
     MediaFeatures(docId, w, h, sum)
   }
 
+  /** Synthesize mm05's 8×8 binary-pattern grayscale PNG: pixel i is 200
+    * where bit i of the 64-bit pattern is set, else 20, plus a small
+    * per-doc noise bump on one pixel — so byte-identical CONTENT classes
+    * produce byte-DIFFERENT payloads whose perceptual hash still
+    * collapses (the property mm05 exists to demonstrate). */
+  private[graft] def encodePatternPng(bits: Long, noisePos: Int,
+      noiseAmt: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < 64) {
+      val v = if (((bits >>> (63 - i)) & 1L) == 1L) 200 else 20
+      raster.setSample(i % 8, i / 8, 0, v)
+      i += 1
+    }
+    raster.setSample(noisePos % 8, noisePos / 8, 0,
+      math.min(255, raster.getSample(noisePos % 8, noisePos / 8, 0) + noiseAmt))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Average-hash (aHash) of a DECODED 8×8 grayscale image: threshold
+    * every pixel at the image mean, pack the 64 bits MSB-first, and
+    * render as 16 hex chars (the md5-hex-prefix bit order, so the oracle
+    * can predict the hash without a codec). Noise of < 180 gray levels on
+    * one pixel never crosses the mean, which is what makes the hash
+    * perceptual rather than exact. */
+  private[graft] def ahashHex(docId: Long, payload: Array[Byte]): String = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"not a decodable image for doc $docId")
+    require(img.getWidth == 8 && img.getHeight == 8,
+      s"unexpected geometry for doc $docId")
+    val raster = img.getRaster
+    val px = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      px(i) = raster.getSample(i % 8, i / 8, 0)
+      sum += px(i)
+      i += 1
+    }
+    val mean = sum.toDouble / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (px(i) > mean) bits |= 1L << (63 - i)
+      i += 1
+    }
+    f"$bits%016x"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IMAGE PERCEPTUAL-HASH dedup — the multimodal analogue of dd11:
+    // byte-level hashing misses re-encoded/noised copies of the same
+    // image, so pipelines dedup on a perceptual hash instead. Each doc's
+    // canonical token set synthesizes an 8×8 binary-pattern PNG (bits =
+    // the md5-hex prefix of the canonical text) with a per-doc noise
+    // pixel — payload BYTES are unique per doc, but the decoded aHash
+    // (mean-threshold, noise-invariant by construction) collapses exactly
+    // the canonical classes. The oracle predicts the hash from text alone
+    // (it equals the md5 prefix unless a pattern has < 2 set bits —
+    // probability ~1e-15 on real md5 output), so a hash-exact DuckDB
+    // check gates a genuine encode→decode→perceptual-hash chain. Scale:
+    // encode/decode/hash are pure map work; the dedup is one hash shuffle
+    // of 8-byte keys (dd01's shape).
+    "mm05_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val canon = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            sort_array(array_distinct(split(col("text"), " "))))
+            .cast("binary")).as("canon_hex"))
+      val media = canon.as[(Long, String)].mapPartitions { batch =>
+        batch.map { case (id, hex) =>
+          val bits = java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16)
+          (id, encodePatternPng(bits, (id % 64).toInt, (id % 5).toInt + 1))
+        }
+      }.toDF("doc_id", "payload")
+      val hashed = media.as[(Long, Array[Byte])].mapPartitions { batch =>
+        batch.map { case (id, payload) => (id, ahashHex(id, payload)) }
+      }.toDF("doc_id", "ahash_hex")
+      hashed.groupBy(col("ahash_hex"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_images"))
+    }),
+
     // Binary payload + metadata struct round trip: text → utf-8 bytes as
     // the opaque payload, content hash + size as metadata; per-source stats.
     "mm01_binary_metadata" -> ((s, d) => {
@@ -295,6 +382,18 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // the aHash of the synthesized pattern equals the canonical md5-hex
+    // prefix (see mm05's Scaladoc) — the oracle needs no codec
+    "mm05_phash_dedup" -> """
+      WITH c AS (
+        SELECT doc_id,
+               SUBSTRING(md5(array_to_string(
+                 list_sort(list_distinct(string_split(text, ' '))), ' ')),
+                 1, 16) AS ahash_hex
+        FROM documents)
+      SELECT ahash_hex, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_images
+      FROM c GROUP BY 1""",
+
     "mm01_binary_metadata" -> """
       SELECT source, COUNT(*) AS n_media,
              CAST(SUM(OCTET_LENGTH(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,

@@ -578,6 +578,21 @@ object Relational {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
     }),
 
+    // --- distribution window functions --------------------------------------
+    // ntile/percent_rank/cume_dist complete the window-function surface:
+    // quantile bucketing and rank normalization per partition. Exact in
+    // IEEE on both engines ((rank-1)/(n-1), rank/n from integer ranks), so
+    // the oracle is hash-exact. Same single-shuffle window shape as q14.
+    "q46_distribution_windows" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"))
+    }),
+
     // --- array ops ---------------------------------------------------------
     "q31_embedding_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -606,6 +621,15 @@ object Relational {
                           AND o2.o_orderstatus = 'F'
                           AND o2.o_orderpriority = '1-URGENT')
       GROUP BY c_mktsegment""",
+
+    "q46_distribution_windows" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             NTILE(4) OVER w AS quartile,
+             PERCENT_RANK() OVER w AS pct_rank,
+             CUME_DIST() OVER w AS cum_dist
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey)""",
 
     "q45_range_window" -> """
       SELECT user_id, event_id, ts,

@@ -334,6 +334,46 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("task retry: a mid-write map failure aborts and the retried attempt wins") {
+    // the fault-tolerance contract a remote-shuffle plugin must honor:
+    // attempt 0 dies PART-WAY through writing its map output (exercising
+    // MapOutputWriter.abort cleanup), Spark reschedules the task, and the
+    // retry's output — written under a different task-attempt id — is the
+    // only one the reduce side reads. Results must be exact, not doubled
+    // or truncated.
+    // local mode only retries with the maxFailures form of the master URL
+    withSc(baseConf().setMaster("local[4, 3]")) { sc =>
+      val data = sc.parallelize(0 until 10000, 8).map { i =>
+        val tc = org.apache.spark.TaskContext.get()
+        // fail partition 3's first attempt only, mid-partition so records
+        // are already buffered/written when the task dies
+        if (tc.partitionId() == 3 && tc.attemptNumber() == 0 && i % 1250 == 624)
+          throw new RuntimeException("injected map failure")
+        (i % 13, 1L)
+      }
+      val result = data.reduceByKey(_ + _, 5).collect()
+      assert(result.map(_._2).sum == 10000L, "retry must neither drop nor double records")
+      assert(result.length == 13)
+    }
+  }
+
+  test("task retry under listing mode: aborted attempt leaves no readable output") {
+    // listing mode enumerates the store — an aborted attempt that left its
+    // index object behind would trip the dup-attempt guard; abort must
+    // clean up well enough that the listing sees exactly one attempt
+    val root = Files.createTempDirectory("cloud-shuffle-retry").toUri.toString
+    withSc(baseConf("spark.shuffle.cloud.useDriverTracker" -> "false",
+      "spark.shuffle.cloud.rootDir" -> root).setMaster("local[4, 3]")) { sc =>
+      val data = sc.parallelize(0 until 10000, 6).map { i =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc.partitionId() == 2 && tc.attemptNumber() == 0 && i % 1666 == 1000)
+          throw new RuntimeException("injected map failure")
+        (i % 7, 1L)
+      }
+      assert(data.reduceByKey(_ + _, 4).collect().map(_._2).sum == 10000L)
+    }
+  }
+
   test("listing mode detects duplicate committed map attempts instead of double-reading") {
     val root = Files.createTempDirectory("cloud-shuffle-dup").toUri.toString
     withSc(baseConf("spark.shuffle.cloud.useDriverTracker" -> "false",

@@ -51,4 +51,22 @@ class MultimodalSpec extends AnyFunSuite {
       decodePng(1L, Array.fill[Byte](32)(0x42))
     }
   }
+
+  test("aHash is perceptual: noised copies collapse while payload bytes differ") {
+    import graft.operators.Multimodal.{ahashHex, encodePatternPng}
+    val bits = java.lang.Long.parseUnsignedLong("a3f09c4412bd77e1", 16)
+    // same pattern, three different noise placements/amplitudes → three
+    // byte-distinct PNGs, one perceptual hash
+    val payloads = Seq((7, 3), (42, 5), (63, 1)).map { case (pos, amt) =>
+      encodePatternPng(bits, pos, amt)
+    }
+    assert(payloads.map(_.toSeq).distinct.size == 3,
+      "noise must make the encoded bytes differ")
+    val hashes = payloads.zipWithIndex.map { case (p, i) => ahashHex(i.toLong, p) }
+    assert(hashes.distinct == Seq("a3f09c4412bd77e1"),
+      s"aHash must equal the source pattern for every noised copy: $hashes")
+    // a genuinely different pattern hashes differently
+    val other = ahashHex(9L, encodePatternPng(bits ^ (1L << 13), 0, 2))
+    assert(other != hashes.head)
+  }
 }
