@@ -35,6 +35,26 @@ object Similarity {
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
 
+  // ss08: one materialized LSH index per fixture (build once, serve many —
+  // the production split between indexing and query time)
+  private val lshIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialize the corpus LSH index as a parquet table PARTITIONED BY
+    * the packed (table, bucket) key — ss02's index side, persisted the way
+    * a serving system stores it: queries touch only their probe buckets'
+    * partitions (partition pruning), never the whole index. */
+  private[graft] def lshIndexDir(s: SparkSession, d: String): String =
+    lshIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ss08-index").toString
+      emb(s, d).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"),
+          explode(rpLshTables(col("embedding"), tables = 8, bitsPerTable = 6))
+            .as("tbk"))
+        .write.partitionBy("tbk").mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Train the m per-subspace codebooks on the UNIT-NORMALIZED corpus side
     * (vec_id >= 10 — queries don't train the index). Deterministic: each
     * subspace reuses [[Clustering.trainKMeans]] (fixed seeds, fixed iters,
@@ -228,6 +248,50 @@ object Similarity {
         .join(e.select(col("vec_id").as("c_id"), col("v").as("c_v")), "c_id")
         .select(col("q_id"), col("c_id"), cosineD(col("q_v"), col("c_v")).as("cos"))
         .select(col("q_id"), col("c_id"), col("cos"), row_number().over(wCos).as("rank"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // ANN INDEX SERVING — the missing half of ss02: the LSH index is not
+    // recomputed per query but MATERIALIZED once as a parquet table
+    // partitioned by bucket key (lshIndexDir), and each query reads ONLY
+    // its probe buckets' partitions. The probe-key IN-list is known at
+    // query time (it is derived from the query vectors — collected here
+    // because a serving client always knows its own probe keys), so the
+    // scan plans with PartitionFilters and touches ≤ |probes| of the 512
+    // partitions — at 100 TB the index read is proportional to the probe
+    // set, not the corpus. Same candidate→verify→top-k tail as ss02;
+    // NorthStarSpec asserts result equality with ss02 and the plan spec
+    // asserts the pruning.
+    "ss08_ann_index_serve" -> ((s, d) => {
+      val dir = lshIndexDir(s, d)
+      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // a serving batch of 3 queries: small probe sets are the point of an
+      // index (ss02's 10-query batch would touch ~every one of the 512
+      // fixture partitions and prove nothing about pruning)
+      // packed keys fit in int ((tables-1)<<bits | bucket ≤ 511); partition
+      // discovery types the tbk directory values as INT, and the probe side
+      // must match exactly — a cast on the partition column would defeat
+      // partition pruning
+      val probes = emb(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"),
+          explode(rpLshProbes(col("embedding"), tables = 8, bitsPerTable = 6))
+            .as("tbk0"))
+        .select(col("q_id"), col("tbk0").cast("int").as("tbk"))
+      val probeKeys = probes.select(col("tbk")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val index = s.read.parquet(dir)
+        .filter(col("tbk").isin(probeKeys.map(Int.box): _*))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      probes.join(index, Seq("tbk"))
+        .select(col("q_id"), col("c_id")).distinct()
+        .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), "q_id")
+        .join(e.select(col("vec_id").as("c_id"), col("v").as("c_v")), "c_id")
+        .select(col("q_id"), col("c_id"),
+          cosineD(col("q_v"), col("c_v")).as("cos"))
+        .select(col("q_id"), col("c_id"), col("cos"),
+          row_number().over(w).as("rank"))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
     }),

@@ -177,6 +177,33 @@ object TextAnalysis {
           tokStats.getField("max_run").cast("long").as("max_tok_freq"),
           tokStats.getField("dup_cov").cast("long").as("dup_coverage"),
           bgStats.getField("max_run").cast("long").as("max_bigram_freq"))
+    }),
+
+    // Boilerplate detection — tx09's INTER-document complement: how many
+    // of a document's distinct bigrams also occur in OTHER docs of the
+    // same source? Crawl boilerplate (nav bars, footers, templates)
+    // repeats across a source's pages; novel prose doesn't. Pure integer
+    // outputs (shared/total distinct bigrams), top-20 most templated
+    // docs. Shape: distinct (source, bigram, doc) → per-(source, bigram)
+    // doc frequency → join back on the SAME key (the dictionary is
+    // corpus-sized, never broadcastable at 100 TB — unhinted, the join
+    // co-partitions with the aggregation's exchange, and AQE still
+    // broadcasts when the dictionary happens to be small) → per-doc
+    // integer sums → global top-k (TakeOrderedAndProject). Linear.
+    "tx10_boilerplate" -> ((s, d) => {
+      val bgs = docs(s, d)
+        .select(col("source"), col("doc_id"),
+          explode(array_distinct(
+            org.apache.spark.sql.graft.TextSignatures.bigrams(tokens(col("text")))))
+            .as("bg"))
+      val df = bgs.groupBy(col("source"), col("bg"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      bgs.join(df, Seq("source", "bg"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -254,6 +281,25 @@ object TextAnalysis {
       SELECT t.doc_id, t.n_tokens, t.n_distinct, t.max_tok_freq,
              t.dup_coverage, COALESCE(b.max_bigram_freq, 0) AS max_bigram_freq
       FROM tstats t LEFT JOIN bstats b USING (doc_id)""",
+
+    "tx10_boilerplate" -> """
+      WITH bgs AS (
+        SELECT DISTINCT source, doc_id,
+               UNNEST(list_transform(range(2, LEN(string_split(text, ' ')) + 1),
+                 i -> string_split(text, ' ')[i - 1] || ' '
+                      || string_split(text, ' ')[i])) AS bg
+        FROM documents),
+           df AS (
+        SELECT source, bg, COUNT(DISTINCT doc_id) AS ndocs
+        FROM bgs GROUP BY 1, 2)
+      SELECT b.source, b.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM bgs b JOIN df USING (source, bg)
+      GROUP BY 1, 2
+      ORDER BY n_shared DESC, doc_id
+      LIMIT 20""",
 
     // integer sums + single final division mirror the Spark side exactly
     "tx08_common_token_density" -> """

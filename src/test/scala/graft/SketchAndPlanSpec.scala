@@ -138,6 +138,30 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ADC shortlist + exact re-rank windows expected:\n$exec")
   }
 
+  test("ss08: the index scan prunes to the probe buckets' partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other.children.flatMap(flatten)
+    })
+    val exec = SparkEntry.queries("ss08_ann_index_serve")(spark, sf)
+      .queryExecution.executedPlan
+    val indexScans = flatten(exec).collect {
+      case sc: FileSourceScanExec if sc.relation.partitionSchema.fieldNames.contains("tbk") => sc
+    }
+    assert(indexScans.nonEmpty, s"expected a scan of the partitioned index:\n$exec")
+    indexScans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        s"probe-key filter must prune partitions, not scan the index:\n$sc")
+      val selected = sc.selectedPartitions.totalNumberOfFiles
+      val total = sc.relation.location.inputFiles.length.toLong
+      assert(selected < total,
+        s"pruning selected $selected of $total index files — nothing pruned")
+    }
+  }
+
   test("dd04/dd07: verification runs inside the candidate join stage (no pair shuffle)") {
     import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
