@@ -16,7 +16,59 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Pipelines {
 
+  /** Stream the documents fixture the way StreamingQueries streams events
+    * (glob pinned to the fixture file). */
+  private def streamDocs(s: SparkSession, d: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The corpus-prep pipeline AS A STREAMING JOB: continuous ingest →
+    // streaming exact dedup (dropDuplicates state keyed on (source,
+    // fingerprint) — within-source, because streaming keeps the FIRST
+    // arrival and cross-source survivor choice would be racy across
+    // shuffle partitions) → quality gate → per-source rollup of the
+    // SURVIVING corpus. Every aggregated value is derived from the
+    // canonical text (content length, quality), so the rollup is
+    // identical no matter which byte-identical copy the state store kept
+    // — what makes a streaming dedup pipeline verifiable at all. At
+    // scale the dedup state is the fingerprint dictionary,
+    // hash-partitioned across the cluster; production bounds it with
+    // dropDuplicatesWithinWatermark (spec-covered in StreamingSpec).
+    "pp02_stream_clean_corpus" -> ((s, d) => {
+      val kept = streamDocs(s, d)
+        // score the CANONICAL text: any byte-identical-after-normalization
+        // copy then yields the same quality, so the rollup is deterministic
+        // by construction, not by fixture luck
+        .select(col("source"), trim(lower(col("text"))).as("ctext"),
+          fingerprint(col("text")).as("fp"))
+        .select(col("source"), col("ctext"), col("fp"),
+          tokens(col("ctext")).as("ws"))
+        .dropDuplicates("source", "fp")
+        .select(col("source"),
+          length(col("ctext")).as("content_chars"),
+          (size(org.apache.spark.sql.functions.filter(col("ws"),
+            w => w.isInCollection(Seq("the", "a", "of", "and", "to", "in", "is"))))
+            .cast("double") / size(col("ws"))).as("stop_ratio"),
+          (size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
+            .as("distinct_ratio"),
+          size(col("ws")).as("n_tokens"))
+        .withColumn("quality",
+          round(least(lit(1.0),
+            (col("stop_ratio") * 2 + col("distinct_ratio")) *
+              when(col("n_tokens") >= 20, 1.0).otherwise(0.5)), 6))
+        .filter(col("quality") >= 0.5)
+        .select(col("source"), col("content_chars"), col("quality"))
+      StreamingQueries.drainAppend(s, kept)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("content_chars")).as("sum_content_chars"),
+          (sum(col("quality").cast(DecimalType(28, 6))).cast(DoubleType)
+            / count(lit(1))).as("avg_quality"))
+    }),
     // corpus prep: exact-dedup (keep lowest doc_id per content
     // fingerprint) → quality gate → 80/10/10 md5-rank split → per-split
     // stats over the SURVIVING corpus
@@ -62,6 +114,30 @@ object Pipelines {
   )
 
   val oracles: Map[String, String] = Map(
+    "pp02_stream_clean_corpus" -> """
+      WITH dd AS (
+        SELECT source, text,
+               ROW_NUMBER() OVER (PARTITION BY source, md5(TRIM(LOWER(text)))
+                                  ORDER BY doc_id) AS keep_rk
+        FROM documents),
+           q AS (
+        SELECT source, LENGTH(TRIM(LOWER(text))) AS content_chars,
+               ROUND(LEAST(1.0,
+                 (CAST(LEN(list_filter(string_split(TRIM(LOWER(text)), ' '),
+                    w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], w)))
+                    AS DOUBLE) / LEN(string_split(TRIM(LOWER(text)), ' ')) * 2
+                  + CAST(LEN(list_distinct(string_split(TRIM(LOWER(text)), ' '))) AS DOUBLE)
+                    / LEN(string_split(TRIM(LOWER(text)), ' ')))
+                 * (CASE WHEN LEN(string_split(TRIM(LOWER(text)), ' ')) >= 20
+                         THEN 1.0 ELSE 0.5 END)), 6) AS quality
+        FROM dd WHERE keep_rk = 1)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(content_chars) AS BIGINT) AS sum_content_chars,
+             CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS avg_quality
+      FROM q WHERE quality >= 0.5
+      GROUP BY source""",
+
     "pp01_clean_corpus" -> """
       WITH dd AS (
         SELECT doc_id, source, text, n_chars,

@@ -64,6 +64,10 @@ object StreamingQueries {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
+  /** Append-mode drain for other modules' streaming pipelines (pp02). */
+  private[graft] def drainAppend(s: SparkSession, df: DataFrame): DataFrame =
+    drain(s, df, mode = "append")
+
   /** st06's drained stream-stream LEFT OUTER interval join, one row per
     * join output (sentinels already filtered): clicks left-joined to the
     * same user's purchases in the following hour.
