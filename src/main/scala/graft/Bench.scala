@@ -17,12 +17,8 @@ object Bench {
     // the streaming drains (st*) are correctness surface — AvailableNow
     // checkpointed jobs measuring state-store/checkpoint I/O, not engine
     // throughput (the reference is batch-only); they are gated by Verify
-    val streaming = graft.operators.StreamingQueries.queries.keySet
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) =>
-        // streaming drains live in other modules too (pp02): the naming
-        // convention carries the exclusion
-        streaming.contains(name) || name.contains("_stream_") }
+      .filterNot { case (name, _) => SparkEntry.streamingQueries.contains(name) }
     // min of 3 interleaved passes; a System.gc() before each query keeps a
     // neighbor's garbage from billing its collection pause to this query
     // (the r2 "regression cluster" — q11-q14/ts01/mm02 2-6× slower with

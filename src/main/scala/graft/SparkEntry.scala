@@ -31,6 +31,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._2._1).reduce(_ ++ _)
 
+  /** Queries that run a streaming drain (state store + checkpoint I/O) —
+    * correctness surface, excluded from Bench. Derived from the
+    * StreamingQueries module plus the `_stream_` naming convention that
+    * marks streaming drains living in other modules (pp02); KeyCheck
+    * asserts the module's own keys all follow the convention so it
+    * cannot silently lapse. */
+  def streamingQueries: Set[String] =
+    operators.StreamingQueries.queries.keySet ++
+      queries.keySet.filter(_.contains("_stream_"))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those get
     * the driver's weaker rows-only check + ScalaTest invariants). */

@@ -28,6 +28,14 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(lower(text)).cast("binary"))
 
+  /** Canonical bag-of-tokens fingerprint: md5 of the sorted distinct token
+    * set re-joined with single spaces — the normalization key shared by
+    * dd11 (token-set dedup) and mm05 (whose synthesized image pattern IS
+    * this hash's 64-bit prefix). One definition, or the two operators'
+    * oracle-exactness silently diverges. */
+  def canonFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokenSet(text)).cast("binary"))
+
   /** MinHash signature: `perms` min-hash values over the token set, each
     * permutation keyed by seed — the native
     * [[org.apache.spark.sql.graft.MinHashSignature]] expression (one JVM

@@ -108,11 +108,10 @@ object Dedup {
     // hash shuffle on a 16-byte key. 500 docs → 446 classes on the
     // fixtures (54 reordered near-copies collapse).
     "dd11_tokenset_dedup" -> ((s, d) => {
-      val ts = tokenSet(col("text"))
       docs(s, d)
         .select(col("doc_id"),
-          md5(concat_ws(" ", ts).cast("binary")).as("canon_fp"),
-          size(ts).cast("long").as("n_tokens"))
+          canonFingerprint(col("text")).as("canon_fp"),
+          size(tokenSet(col("text"))).cast("long").as("n_tokens"))
         .groupBy(col("canon_fp"), col("n_tokens"))
         .agg(min(col("doc_id")).as("keep_doc_id"),
           count(lit(1)).as("n_docs"))

@@ -270,9 +270,7 @@ object Multimodal {
       import s.implicits._
       val canon = Tables.load(s, d, "documents")
         .select(col("doc_id"),
-          md5(concat_ws(" ",
-            sort_array(array_distinct(split(col("text"), " "))))
-            .cast("binary")).as("canon_hex"))
+          graft.functions.TextOps.canonFingerprint(col("text")).as("canon_hex"))
       val media = canon.as[(Long, String)].mapPartitions { batch =>
         batch.map { case (id, hex) =>
           val bits = java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16)

@@ -16,6 +16,18 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Pipelines {
 
+  /** The tx02-style quality score of a token-array column — ONE definition
+    * shared by pp01 and pp02 (both DuckDB oracles mirror it; a tweak to
+    * either Spark copy alone would break oracle-exactness invisibly). */
+  private def qualityScore(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val stopRatio = size(org.apache.spark.sql.functions.filter(ws,
+      w => w.isInCollection(Seq("the", "a", "of", "and", "to", "in", "is"))))
+      .cast("double") / size(ws)
+    val distinctRatio = size(array_distinct(ws)).cast("double") / size(ws)
+    round(least(lit(1.0), (stopRatio * 2 + distinctRatio) *
+      when(size(ws) >= 20, 1.0).otherwise(0.5)), 6)
+  }
+
   /** Stream the documents fixture the way StreamingQueries streams events
     * (glob pinned to the fixture file). */
   private def streamDocs(s: SparkSession, d: String): DataFrame = {
@@ -50,18 +62,8 @@ object Pipelines {
         .dropDuplicates("source", "fp")
         .select(col("source"),
           length(col("ctext")).as("content_chars"),
-          (size(org.apache.spark.sql.functions.filter(col("ws"),
-            w => w.isInCollection(Seq("the", "a", "of", "and", "to", "in", "is"))))
-            .cast("double") / size(col("ws"))).as("stop_ratio"),
-          (size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
-            .as("distinct_ratio"),
-          size(col("ws")).as("n_tokens"))
-        .withColumn("quality",
-          round(least(lit(1.0),
-            (col("stop_ratio") * 2 + col("distinct_ratio")) *
-              when(col("n_tokens") >= 20, 1.0).otherwise(0.5)), 6))
+          qualityScore(col("ws")).as("quality"))
         .filter(col("quality") >= 0.5)
-        .select(col("source"), col("content_chars"), col("quality"))
       StreamingQueries.drainAppend(s, kept)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -82,17 +84,7 @@ object Pipelines {
         .withColumn("keep_rk", row_number().over(byFp))
         .filter(col("keep_rk") === 1)
       val scored = deduped.select(col("doc_id"), col("source"), col("text"),
-          col("n_chars"),
-          (size(org.apache.spark.sql.functions.filter(col("ws"),
-            w => w.isInCollection(Seq("the", "a", "of", "and", "to", "in", "is"))))
-            .cast("double") / size(col("ws"))).as("stop_ratio"),
-          (size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
-            .as("distinct_ratio"),
-          size(col("ws")).as("n_tokens"))
-        .withColumn("quality",
-          round(least(lit(1.0),
-            (col("stop_ratio") * 2 + col("distinct_ratio")) *
-              when(col("n_tokens") >= 20, 1.0).otherwise(0.5)), 6))
+          col("n_chars"), qualityScore(col("ws")).as("quality"))
         .filter(col("quality") >= 0.5)
       val bySrcHash = Window.partitionBy(col("source"))
         .orderBy(md5(col("text").cast("binary")))

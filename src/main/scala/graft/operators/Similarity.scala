@@ -47,6 +47,11 @@ object Similarity {
   private[graft] def lshIndexDir(s: SparkSession, d: String): String =
     lshIndexCache.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-ss08-index").toString
+      // the index outlives individual queries by design (build once, serve
+      // many) but must not outlive the JVM — verify/bench runs would
+      // otherwise accumulate 512-partition copies in /tmp forever
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
       emb(s, d).filter(col("vec_id") >= 10)
         .select(col("vec_id").as("c_id"),
           explode(rpLshTables(col("embedding"), tables = 8, bitsPerTable = 6))

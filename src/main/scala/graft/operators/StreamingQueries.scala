@@ -68,6 +68,27 @@ object StreamingQueries {
   private[graft] def drainAppend(s: SparkSession, df: DataFrame): DataFrame =
     drain(s, df, mode = "append")
 
+  /** The click→purchase interval join both st06 and st07 run: watermarked
+    * substreams of the sentineled source, joined on user equality with
+    * purchases in the hour after the click. ONE definition — the watermark
+    * delay, interval, and join condition must stay identical between the
+    * two operators and their oracles. */
+  private def clickPurchaseJoin(src: DataFrame, joinType: String): DataFrame = {
+    val clicks = src.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"))
+    clicks.join(purchases,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
+  }
+
   /** st06's drained stream-stream LEFT OUTER interval join, one row per
     * join output (sentinels already filtered): clicks left-joined to the
     * same user's purchases in the following hour.
@@ -85,21 +106,8 @@ object StreamingQueries {
     * pipeline closes the books on an outer join — advance event time, not
     * wall-clock time. */
   private[graft] def st06Drained(s: SparkSession, d: String): DataFrame =
-    drainWithSentinels(s, d) { src =>
-      val clicks = src.filter(col("event_type") === "click")
-        .withWatermark("ts", "10 minutes")
-        .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
-          col("ts").as("a_ts"))
-      val purchases = src.filter(col("event_type") === "purchase")
-        .withWatermark("ts", "10 minutes")
-        .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
-          col("ts").as("b_ts"))
-      clicks.join(purchases,
-        col("a_user") === col("b_user") &&
-          col("b_ts") >= col("a_ts") &&
-          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
-        "left_outer")
-    }.filter(col("a_user") >= 0)
+    drainWithSentinels(s, d)(clickPurchaseJoin(_, "left_outer"))
+      .filter(col("a_user") >= 0)
 
   /** Build the sentineled event stream (fixture + two far-future sentinel
     * microbatches that advance the watermark past the tail — see st06's
@@ -142,8 +150,11 @@ object StreamingQueries {
         try {
           s.createDataFrame(java.util.Arrays.asList(rows: _*), rawSchema)
             .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-          val part = Files.list(stage).filter(p =>
+          // Files.list streams hold an open directory fd until closed
+          val listing = Files.list(stage)
+          val part = try listing.filter(p =>
             p.getFileName.toString.startsWith("part-")).findFirst().get()
+          finally listing.close()
           val out = srcDir.resolve(name)
           Files.move(part, out, StandardCopyOption.REPLACE_EXISTING)
           Files.setLastModifiedTime(out,
@@ -264,18 +275,7 @@ object StreamingQueries {
     // harness closes the last windows too. Oracle: the batch join+rollup.
     "st07_stream_join_agg" -> ((s, d) => {
       drainWithSentinels(s, d) { src =>
-        val clicks = src.filter(col("event_type") === "click")
-          .withWatermark("ts", "10 minutes")
-          .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
-            col("ts").as("a_ts"))
-        val purchases = src.filter(col("event_type") === "purchase")
-          .withWatermark("ts", "10 minutes")
-          .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
-            col("ts").as("b_ts"))
-        clicks.join(purchases,
-            col("a_user") === col("b_user") &&
-              col("b_ts") >= col("a_ts") &&
-              col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+        clickPurchaseJoin(src, "inner")
           .groupBy(window(col("b_ts"), "1 hour"))
           .agg(count(lit(1)).as("n_attributed"),
             sum(unix_micros(col("b_ts")) - unix_micros(col("a_ts")))

@@ -197,7 +197,10 @@ object TextAnalysis {
             org.apache.spark.sql.graft.TextSignatures.bigrams(tokens(col("text")))))
             .as("bg"))
       val df = bgs.groupBy(col("source"), col("bg"))
-        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        // rows are already distinct in (source, bg, doc_id) — the
+        // array_distinct upstream guarantees it — so a plain count equals
+        // countDistinct(doc_id) without the extra distinct-agg pass
+        .agg(count(lit(1)).as("ndocs"))
       bgs.join(df, Seq("source", "bg"))
         .groupBy(col("source"), col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),

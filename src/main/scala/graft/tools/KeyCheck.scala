@@ -14,7 +14,13 @@ object KeyCheck {
       (if (sum == merged) "OK" else "COLLISION!"))
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     println(s"[keycheck] oracles without queries: $orphans")
+    // the Bench exclusion rides the `_stream_` naming convention for
+    // drains outside the StreamingQueries module — the module's own keys
+    // must all follow it, or the convention has silently lapsed
+    val offConvention = graft.operators.StreamingQueries.queries.keySet
+      .filterNot(_.contains("_stream_"))
+    println(s"[keycheck] streaming keys off the _stream_ convention: $offConvention")
     // scripted callers must see failure as failure, not a log line
-    if (sum != merged || orphans.nonEmpty) sys.exit(1)
+    if (sum != merged || orphans.nonEmpty || offConvention.nonEmpty) sys.exit(1)
   }
 }

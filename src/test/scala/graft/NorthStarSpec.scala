@@ -79,10 +79,11 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pq = rows("ss07_pq_topk")
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pq.size == exact.size, "both are top-5 per query")
-    // 2-byte codes (4 × 4-bit) against 256-byte float64 vectors: recall
-    // can't be perfect; the bound is what the trained 4×16 codebook
-    // actually achieves on the fixtures (deterministic training — the
-    // measured value is stable, bounded with slack for fixture drift)
+    // 4-byte codes (8 subspaces × 4-bit) against 512-byte float64
+    // vectors: ADC recall can't be perfect; the bound is what the trained
+    // 8×16 codebook + top-64 exact re-rank actually achieves on the
+    // fixtures (deterministic training — the measured value is stable,
+    // bounded with slack for fixture drift)
     val recall = pq.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.4, s"PQ recall@5 $recall (${pq.intersect(exact).size}/${exact.size})")
     // reconstruction sanity: decoded vectors point the way the originals

@@ -44,6 +44,18 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Flatten a physical plan through AQE wrappers and cached-relation
+    * nodes (both hide their subtrees from children/collect), so plan
+    * assertions see the whole tree. One copy — four tests use it. */
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flattenPlan(a.executedPlan)
+    case sc: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      flattenPlan(sc.relation.cachedPlan)
+    case other => other.children.flatMap(flattenPlan)
+  })
+
   test("q01: filter + projection are pushed into the parquet scan") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -110,24 +122,19 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ss07: the corpus streams into ADC scoring unshuffled; later shuffles are shortlist-sized") {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case other => other.children.flatMap(flatten)
-    })
     val exec = SparkEntry.queries("ss07_pq_topk")(spark, sf).queryExecution.executedPlan
-    val nodes = flatten(exec)
-    def hasShuffle(p: SparkPlan): Boolean = flatten(p).exists(_.isInstanceOf[ShuffleExchangeLike])
-    def hasScan(p: SparkPlan): Boolean = flatten(p).exists(_.nodeName.contains("Scan"))
+    val nodes = flattenPlan(exec)
+    def hasShuffle(p: SparkPlan): Boolean = flattenPlan(p).exists(_.isInstanceOf[ShuffleExchangeLike])
+    def hasScan(p: SparkPlan): Boolean = flattenPlan(p).exists(_.nodeName.contains("Scan"))
     // the ADC join = queries broadcast × corpus streaming: some join node
     // must have a broadcast child and a scan-rooted, shuffle-free other
     // child — the 100 TB property (codes scored where the corpus lives)
     val adcJoinOk = nodes.exists { n =>
       n.nodeName.contains("Join") && n.children.exists(c =>
-        flatten(c).exists(_.isInstanceOf[BroadcastExchangeLike])) &&
+        flattenPlan(c).exists(_.isInstanceOf[BroadcastExchangeLike])) &&
         n.children.exists(c => hasScan(c) && !hasShuffle(c) &&
-          !flatten(c).exists(_.isInstanceOf[BroadcastExchangeLike]))
+          !flattenPlan(c).exists(_.isInstanceOf[BroadcastExchangeLike]))
     }
     assert(adcJoinOk, s"corpus must reach the ADC join without an exchange:\n$exec")
     // everything after the ADC scoring ranks |queries|·shortlist rows:
@@ -140,15 +147,9 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ss08: the index scan prunes to the probe buckets' partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.SparkPlan
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case other => other.children.flatMap(flatten)
-    })
     val exec = SparkEntry.queries("ss08_ann_index_serve")(spark, sf)
       .queryExecution.executedPlan
-    val indexScans = flatten(exec).collect {
+    val indexScans = flattenPlan(exec).collect {
       case sc: FileSourceScanExec if sc.relation.partitionSchema.fieldNames.contains("tbk") => sc
     }
     assert(indexScans.nonEmpty, s"expected a scan of the partitioned index:\n$exec")
@@ -163,20 +164,12 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dd04/dd07: verification runs inside the candidate join stage (no pair shuffle)") {
-    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    // AQE and cached-relation nodes hide their subtrees from collect();
-    // flatten through them so assertions see the whole physical tree
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case s: InMemoryTableScanExec => flatten(s.relation.cachedPlan)
-      case other => other.children.flatMap(flatten)
-    })
     for (name <- Seq("dd04_minhash_lsh_pairs", "dd07_prefix_join")) {
       val exec = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
-      val nodes = flatten(exec)
+      val nodes = flattenPlan(exec)
       // the jaccard kernel must evaluate where candidate pairs are
       // produced — in the join's own condition or a filter/project that
       // reaches the join without crossing a shuffle; pairs must never
@@ -199,15 +192,9 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("ss04: IVF cell assignment is map-side (no corpus×k shuffle, single window)") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case other => other.children.flatMap(flatten)
-    })
-    val nodes = flatten(SparkEntry.queries("ss04_ann_ivf_topk")(spark, sf)
+    val nodes = flattenPlan(SparkEntry.queries("ss04_ann_ivf_topk")(spark, sf)
       .queryExecution.executedPlan)
     // one window total: the final per-query re-rank. The round-2 plan had
     // two more (crossJoin×cells + row_number argmin per side) that

@@ -57,8 +57,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     def writeFile(n: String, events: Seq[Event]): Unit = {
       val stage = java.nio.file.Files.createTempDirectory("graft-restart-stage")
       events.toDS().coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = java.nio.file.Files.list(stage)
+      val listing = java.nio.file.Files.list(stage)
+      val part = try listing
         .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally listing.close()
       java.nio.file.Files.move(part, srcDir.resolve(n))
       org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
     }
