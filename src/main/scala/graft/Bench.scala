@@ -63,6 +63,12 @@ object Bench {
     println(line)
     // belt-and-braces for tail truncation: same line on stderr too
     System.err.println(line)
+    // and the machine-readable copy: the driver's stdout scrape has
+    // recorded "parsed": null for four rounds — a file can't truncate
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -54,7 +54,13 @@ object Dedup {
     // prefix length n - ceil(0.9n) + 1; 9n/10 exact in IEEE when integral
     val pref = reps
       .select(col("rep_id"), col("th"), col("n"), explode(col("th")).as("tok"))
-      .join(broadcast(tokDf), "tok")
+      // deliberately UNHINTED (tx10's discipline): the df dictionary is
+      // vocabulary-sized — AQE broadcasts it when it measures small, and
+      // falls back to a token-keyed shuffle join when a 100 TB corpus's
+      // billion-token vocabulary doesn't fit. A hard broadcast() hint
+      // would attempt the broadcast regardless of measured size and fail
+      // at the 8 GB cap (VERDICT r4 item 1).
+      .join(tokDf, "tok")
       .groupBy(col("rep_id"), col("th"), col("n"))
       .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
         st => st.getField("tok")).as("otoks"))
@@ -215,9 +221,9 @@ object Dedup {
     // here because the fixtures' vocabulary is near-uniform; on Zipfian
     // real-corpus vocabularies this ordering is the difference between
     // stop-word buckets of O(corpus) and rare-word buckets of O(1), which
-    // is why it's the canonical order at 100 TB. The df dictionary is
-    // vocabulary-sized and broadcasts; at a scale where it doesn't, the
-    // join falls back to a token-keyed shuffle join. A size-ratio filter
+    // is why it's the canonical order at 100 TB. The df dictionary join
+    // is unhinted — AQE broadcasts it while it measures small and
+    // shuffles on the token key once it doesn't. A size-ratio filter
     // prunes before verification. Same expansion as dd04; deterministic
     // output => full DuckDB oracle.
     "dd07_prefix_join" -> ((s, d) => prefixJoinPairs(s, d)),

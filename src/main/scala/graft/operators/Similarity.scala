@@ -20,6 +20,14 @@ object Similarity {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
+  // ss02/ss08 LSH shape — ONE definition: the materialized index
+  // (lshIndexDir) and every probe side must hash identically, or the
+  // index silently desyncs from the queries (ss08's equality spec would
+  // only catch it after the fact). 8 tables × 6 sign bits, radius-1
+  // query-side multi-probe.
+  private[graft] val LshTables = 8
+  private[graft] val LshBits = 6
+
   // ss07 product-quantization shape: 64 dims = 8 subspaces × 8 dims,
   // 16 cells per subspace (4-bit codes → 4 bytes/vector), trained like
   // the IVF codebook; ADC shortlists PqShortlist candidates per query
@@ -54,7 +62,7 @@ object Similarity {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
       emb(s, d).filter(col("vec_id") >= 10)
         .select(col("vec_id").as("c_id"),
-          explode(rpLshTables(col("embedding"), tables = 8, bitsPerTable = 6))
+          explode(rpLshTables(col("embedding"), LshTables, LshBits))
             .as("tbk"))
         .write.partitionBy("tbk").mode("overwrite").parquet(dir)
       dir
@@ -111,9 +119,9 @@ object Similarity {
       // ids-only through the bucket join + distinct (vector arrays must
       // not ride the candidate shuffle); vectors re-join for scoring
       val q = emb(s, d).filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
-        explode(rpLshProbes(col("embedding"), tables = 8, bitsPerTable = 6)).as("tbk"))
+        explode(rpLshProbes(col("embedding"), LshTables, LshBits)).as("tbk"))
       val c = emb(s, d).filter(col("vec_id") >= 10).select(col("vec_id").as("c_id"),
-        explode(rpLshTables(col("embedding"), tables = 8, bitsPerTable = 6)).as("tbk"))
+        explode(rpLshTables(col("embedding"), LshTables, LshBits)).as("tbk"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("c_id"))
       q.join(c, Seq("tbk"))
@@ -280,7 +288,7 @@ object Similarity {
       // partition pruning
       val probes = emb(s, d).filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"),
-          explode(rpLshProbes(col("embedding"), tables = 8, bitsPerTable = 6))
+          explode(rpLshProbes(col("embedding"), LshTables, LshBits))
             .as("tbk0"))
         .select(col("q_id"), col("tbk0").cast("int").as("tbk"))
       val probeKeys = probes.select(col("tbk")).distinct()

@@ -109,13 +109,16 @@ object TextAnalysis {
     // instance counts) and divided once at the end — no float
     // accumulation, so the result is shuffle-order-independent and
     // engine-exact (the tx06 rational-scoring discipline). Shape: explode
-    // → corpus tf agg → broadcast dictionary join → per-doc integer sum →
-    // global top-k (TakeOrderedAndProject). Linear at any scale.
+    // → corpus tf agg → UNHINTED dictionary join (tx10's discipline: the
+    // term-frequency table is vocabulary-sized — AQE broadcasts it while
+    // small, shuffles on the token key at corpus scale; a hard hint would
+    // die at the 8 GB broadcast cap) → per-doc integer sum → global
+    // top-k (TakeOrderedAndProject). Linear at any scale.
     "tx08_common_token_density" -> ((s, d) => {
       val toks = docs(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val nTotal = toks.agg(count(lit(1)).as("n_total"))
-      toks.join(broadcast(tf), "tok")
+      toks.join(tf, "tok")
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).as("sum_cnt"), count(lit(1)).as("n_tok"))
         .crossJoin(broadcast(nTotal))

@@ -209,6 +209,23 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus shuffled before the cell join:\n$join")
   }
 
+  test("dd07/tx08/tx10: dictionary joins carry no forced broadcast hint (AQE decides)") {
+    // VERDICT r4 items 1-2: broadcast() is a HARD hint — Spark attempts it
+    // regardless of measured size (up to the 8 GB cap, then fails), and a
+    // 100 TB corpus's token dictionary is billions of entries. The only
+    // hints allowed in these plans are 1-row scalars (tx08's n_total).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (name <- Seq("dd07_prefix_join", "tx08_common_token_density",
+        "tx10_boilerplate")) {
+      val analyzed = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+      val hinted = analyzed.collect { case h: ResolvedHint => h }
+      hinted.foreach { h =>
+        assert(h.child.maxRows.exists(_ <= 1),
+          s"$name: only 1-row scalar broadcasts may be hinted; found a hint over:\n${h.child}")
+      }
+    }
+  }
+
   test("q31: whole-stage codegen covers the aggregate (final AQE plan)") {
     val df = SparkEntry.queries("q31_embedding_stats")(spark, sf)
     df.collect() // AQE finalizes (and codegens) only on execution
