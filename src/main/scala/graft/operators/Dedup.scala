@@ -94,6 +94,60 @@ object Dedup {
     expandRepPairs(groups, repPairs)
   }
 
+  /** dd08/dd13 shared kernel: multi-probe random-hyperplane LSH near-dup
+    * pairs over a (vec_id, v) corpus. Candidate pairs meet through an
+    * equi-join of a radius-1 probe side (each table's bucket plus every
+    * 1-bit flip) against a radius-0 index side — ids only — and exact
+    * cosine verifies INSIDE the join's output pipeline before anything
+    * shuffles (dd04's verify-early discipline). */
+  private def embeddingLshPairs(s: SparkSession, e0: DataFrame,
+      tables: Int, bits: Int, thr: Double): DataFrame = {
+    import graft.functions.VectorOps
+    // signatures cost tables·bits·dim mults per row — spread rows across
+    // the cluster BEFORE the kernel (a small fixture arrives as one
+    // parquet split = one task otherwise; explicit numPartitions keeps
+    // AQE from coalescing the tiny exchange back to a single partition)
+    val e = e0.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val index = e.select(col("vec_id").as("b_id"),
+      explode(VectorOps.rpLshTables(col("v"), tables, bits)).as("tbk"))
+    val probe = e.select(col("vec_id").as("a_id"),
+      explode(VectorOps.rpLshProbes(col("v"), tables, bits)).as("tbk"))
+    // verify BEFORE the distinct: vectors join on ids (broadcast-size
+    // here, hash joins at scale), exact cosine decimates the candidate
+    // stream inside codegen, and only verified pairs (×collision
+    // multiplicity — bounded by `tables`) reach the distinct
+    probe.join(index, Seq("tbk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        VectorOps.cosineD(col("a_v"), col("b_v")).as("cos"))
+      .filter(col("cos") >= thr)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
+      .distinct()
+  }
+
+  /** dd13's derived corpus: the fixture embeddings plus one deterministic
+    * near-duplicate twin per vector (id + 1e6). The fixtures contain NO
+    * high-cosine pairs (measured max 0.60 at every sf), so the
+    * production-threshold tier is exercised on planted ground truth the
+    * oracle can reproduce: v'ᵢ = vᵢ + ‖v‖/80 · tᵢ with the integer
+    * pattern tᵢ = ((vec_id·37 + i·101) mod 5) − 2 (i 1-based) — pure
+    * IEEE ops, identical in DuckDB's list_transform, landing twins at
+    * cos ≈ 0.990 while every cross pair stays below 0.52. */
+  private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorOps
+    val e = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val nrm = VectorOps.norm(col("v"))
+    val planted = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("v"), (x, i) => x + nrm / lit(80.0) *
+        (((col("vec_id") * 37 + (i + lit(1)) * 101) % 5) - lit(2)).cast("double"))
+        .as("v"))
+    e.unionAll(planted)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content fingerprint, keep the smallest doc_id.
     // At 100 TB this is a single hash shuffle on the fingerprint.
@@ -271,34 +325,26 @@ object Dedup {
     // pairs as candidates, vs the round-2 config's 0.790 at 41.1%.
     "dd08_embedding_lsh_pairs" -> ((s, d) => {
       import graft.functions.VectorOps
-      val tables = 160; val bits = 15
-      // signatures cost tables·bits·dim mults per row — spread rows across
-      // the cluster BEFORE the kernel (a small fixture arrives as one
-      // parquet split = one task otherwise; explicit numPartitions keeps
-      // AQE from coalescing the tiny exchange back to a single partition)
-      val e = Tables.load(s, d, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      val index = e.select(col("vec_id").as("b_id"),
-        explode(VectorOps.rpLshTables(col("v"), tables, bits)).as("tbk"))
-      val probe = e.select(col("vec_id").as("a_id"),
-        explode(VectorOps.rpLshProbes(col("v"), tables, bits)).as("tbk"))
-      // verify BEFORE the distinct: vectors join on ids (broadcast-size
-      // here, hash joins at scale), exact cosine decimates the candidate
-      // stream inside codegen, and only verified pairs (×collision
-      // multiplicity — bounded by `tables`) reach the distinct — the same
-      // verify-early discipline as dd04's fused band join.
-      probe.join(index, Seq("tbk"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"))
-        .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
-        .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          VectorOps.cosineD(col("a_v"), col("b_v")).as("cos"))
-        .filter(col("cos") >= 0.4)
-        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
-        .distinct()
+      embeddingLshPairs(s,
+        Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v")),
+        tables = 160, bits = 15, thr = 0.4)
     }),
+
+    // The PRODUCTION-threshold tier of dd08 (VERDICT r4 item 2): real
+    // near-dup detection runs at cos ≥ 0.8, where per-hyperplane sign
+    // agreement is high enough that 6 tables × 16 bits with radius-1
+    // probing holds recall while the random-pair candidate volume
+    // collapses below 1% of all pairs (NorthStarSpec measures both) —
+    // the config whose candidate set stays LINEAR-ish at 100 TB, unlike
+    // dd08's cos-0.4 stress demo where ~11% of pairs survive blocking.
+    // Runs on the planted twin corpus (see plantedCorpus: the fixtures
+    // have no pairs above cos 0.60) and is deterministic for the fixed
+    // seed with measured recall 1 on every fixture — so the exact
+    // all-pairs SQL is a valid oracle (dd04's justification).
+    "dd13_embedding_prod_neardup" -> ((s, d) =>
+      embeddingLshPairs(s, plantedCorpus(s, d), tables = 6, bits = 16,
+        thr = 0.8)),
 
     // Duplicate-cluster CONNECTED COMPONENTS: collapse the verified
     // near-dup pair set (dd07's lossless edges) into clusters and assign
@@ -314,9 +360,57 @@ object Dedup {
     // alternating large-star/small-star variant halves the rounds, same
     // join shape). Exact oracle: DuckDB recursive-CTE reachability.
     "dd09_dup_components" -> ((s, d) => {
-      // Components are computed on the REP graph (exact-dup groups
-      // collapsed — identical components, ~100× fewer nodes/edges) and
-      // expanded to docs through the membership table at the end.
+      val (groups, labels) = repComponents(s, d)
+      groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
+        .join(labels, "rep_id")
+        .select(col("doc_id"), col("comp_id"))
+    }),
+
+    // The TERMINAL dedup artifact (VERDICT r4 item 3, closing SCALE.md's
+    // "Known limits" caveat): the cluster/group TABLE, not the pair list.
+    // dd04/dd07 emit all verified pairs, so a k-duplicate group costs
+    // k²/2 output rows — quadratic in the worst skew (a boilerplate page
+    // duplicated 10⁸ times). This query emits what a production dedup
+    // job actually writes: one row per DOCUMENT carrying its exact-dup
+    // representative (rep_id), its near-dup cluster id (comp_id), and the
+    // cluster size — O(n) output at every scale, and exactly the table a
+    // "keep one per cluster" filter or a dedup-ratio report consumes.
+    // Shape on top of dd09's label propagation: membership join + one
+    // hash agg + one AQE-broadcastable size join. Exact DuckDB oracle
+    // (recursive-CTE reachability + counts).
+    "dd12_dedup_clusters" -> ((s, d) => {
+      val (groups, labels) = repComponents(s, d)
+      val m = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
+        .join(labels, "rep_id")
+      val sizes = m.groupBy(col("comp_id")).agg(count(lit(1)).as("n_members"))
+      m.join(sizes, "comp_id")
+        .select(col("doc_id"), col("rep_id"), col("comp_id"), col("n_members"))
+    }),
+
+    // Embedding near-dup: cosine similarity above threshold on a bounded
+    // subset (ground truth for the ANN path in Similarity).
+    "dd06_embedding_neardup" -> ((s, d) => {
+      import graft.functions.VectorOps
+      val e = Tables.load(s, d, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          VectorOps.cosineD(col("a_v"), col("b_v")).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
+    })
+  )
+
+  /** dd09/dd12 shared core: connected components over the verified
+    * rep-level near-dup graph. Returns the persisted exact-dup group
+    * table and the converged (rep_id, comp_id) label table.
+    *
+    * Components are computed on the REP graph (exact-dup groups
+    * collapsed — identical components, ~100× fewer nodes/edges); callers
+    * expand to docs through the membership table. */
+  private def repComponents(s: SparkSession, d: String): (DataFrame, DataFrame) = {
       // localCheckpoint (eager) TRUNCATES LINEAGE each round — without it
       // every iteration's plan embeds all previous rounds and Catalyst
       // planning goes superlinear (measured: round 6 took 92 s at sf0.01
@@ -390,26 +484,8 @@ object Dedup {
       require(v == 0,
         s"dd09: label propagation did not converge ($v inconsistent edges " +
           s"after $extraRounds fallback rounds)")
-      groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
-        .join(labels, "rep_id")
-        .select(col("doc_id"), col("comp_id"))
-    }),
-
-    // Embedding near-dup: cosine similarity above threshold on a bounded
-    // subset (ground truth for the ANN path in Similarity).
-    "dd06_embedding_neardup" -> ((s, d) => {
-      import graft.functions.VectorOps
-      val e = Tables.load(s, d, "embeddings").filter(col("vec_id") < 500)
-        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
-      val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
-      a.join(b, col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          VectorOps.cosineD(col("a_v"), col("b_v")).as("cos"))
-        .filter(col("cos") >= 0.4)
-        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
-    })
-  )
+      (groups, labels)
+  }
 
   val oracles: Map[String, String] = Map(
     "dd11_tokenset_dedup" -> """
@@ -515,6 +591,56 @@ object Dedup {
       comp AS (SELECT node AS rep_id, MIN(reach) AS comp_id FROM r GROUP BY node)
       SELECT m.doc_id, comp.comp_id
       FROM m JOIN comp USING (rep_id)""",
+
+    // dd09's recursive reachability + the membership/size joins — the
+    // cluster table is the docs-to-components map with component sizes
+    "dd12_dedup_clusters" -> """
+      WITH RECURSIVE w AS (
+        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws
+        FROM documents),
+      g AS (SELECT ws, MIN(doc_id) AS rep_id FROM w GROUP BY ws),
+      m AS (SELECT w.doc_id, g.rep_id FROM w JOIN g USING (ws)),
+      p AS (
+        SELECT a.rep_id AS ra, b.rep_id AS rb
+        FROM g a JOIN g b ON a.rep_id < b.rep_id
+          AND LEN(a.ws) * 9 <= LEN(b.ws) * 10 AND LEN(b.ws) * 9 <= LEN(a.ws) * 10
+        WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9),
+      e AS (
+        SELECT ra AS u, rb AS v FROM p
+        UNION ALL
+        SELECT rb AS u, ra AS v FROM p),
+      r AS (
+        SELECT rep_id AS node, rep_id AS reach FROM g
+        UNION
+        SELECT e.v AS node, r.reach FROM r JOIN e ON e.u = r.node),
+      comp AS (SELECT node AS rep_id, MIN(reach) AS comp_id FROM r GROUP BY node),
+      dc AS (SELECT m.doc_id, m.rep_id, comp.comp_id
+             FROM m JOIN comp USING (rep_id)),
+      sz AS (SELECT comp_id, COUNT(*) AS n_members FROM dc GROUP BY comp_id)
+      SELECT dc.doc_id, dc.rep_id, dc.comp_id, sz.n_members
+      FROM dc JOIN sz USING (comp_id)""",
+
+    // the planted twin corpus reproduced in SQL (see plantedCorpus: pure
+    // IEEE arithmetic, DuckDB's 1-based list_transform index matches the
+    // Spark side's i+1), then exact all-pairs at the production
+    // threshold — valid as an exact oracle because the kernel's measured
+    // recall on the planted pairs is 1 at every sf for the fixed seed
+    "dd13_embedding_prod_neardup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      p AS (SELECT vec_id + 1000000 AS pid,
+              list_transform(v, (x, i) -> x
+                + sqrt(list_inner_product(v, v)) / 80.0
+                * CAST((vec_id * 37 + i * 101) % 5 - 2 AS DOUBLE)) AS v
+            FROM e),
+      u AS (SELECT vec_id, v FROM e
+            UNION ALL
+            SELECT pid AS vec_id, v FROM p)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.8""",
 
     "dd06_embedding_neardup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
