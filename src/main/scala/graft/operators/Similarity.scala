@@ -87,6 +87,43 @@ object Similarity {
       } finally e.unpersist()
     })
 
+  /** ss08/ss09 shared serve path: probe-key derivation from the query
+    * vectors, partition-pruned read of the materialized LSH index, and
+    * the candidate→verify→top-k tail. The probe-key IN-list is collected
+    * driver-side because a serving client always knows its own probe keys
+    * (they derive from the query vectors, not the corpus) — that is what
+    * lets the scan plan with PartitionFilters and touch ≤ |probes| of the
+    * index's partitions. Packed keys fit in int ((tables-1)<<bits |
+    * bucket ≤ 511); partition discovery types the tbk directory values as
+    * INT and the probe side must match exactly — a cast on the partition
+    * column would defeat partition pruning. */
+  private def serveLshTopK(s: SparkSession, d: String,
+      queryVecs: DataFrame): DataFrame = {
+    val dir = lshIndexDir(s, d)
+    val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = queryVecs
+      .select(col("vec_id").as("q_id"),
+        explode(rpLshProbes(col("embedding"), LshTables, LshBits))
+          .as("tbk0"))
+      .select(col("q_id"), col("tbk0").cast("int").as("tbk"))
+    val probeKeys = probes.select(col("tbk")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val index = s.read.parquet(dir)
+      .filter(col("tbk").isin(probeKeys.map(Int.box): _*))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    probes.join(index, Seq("tbk"))
+      .select(col("q_id"), col("c_id")).distinct()
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), "q_id")
+      .join(e.select(col("vec_id").as("c_id"), col("v").as("c_v")), "c_id")
+      .select(col("q_id"), col("c_id"),
+        cosineD(col("q_v"), col("c_v")).as("cos"))
+      .select(col("q_id"), col("c_id"), col("cos"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-5 neighbors for 10 query vectors by brute-force cosine.
     "ss01_cosine_topk" -> ((s, d) => {
@@ -276,37 +313,60 @@ object Similarity {
     // set, not the corpus. Same candidate→verify→top-k tail as ss02;
     // NorthStarSpec asserts result equality with ss02 and the plan spec
     // asserts the pruning.
-    "ss08_ann_index_serve" -> ((s, d) => {
-      val dir = lshIndexDir(s, d)
-      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    "ss08_ann_index_serve" -> ((s, d) =>
       // a serving batch of 3 queries: small probe sets are the point of an
       // index (ss02's 10-query batch would touch ~every one of the 512
       // fixture partitions and prove nothing about pruning)
-      // packed keys fit in int ((tables-1)<<bits | bucket ≤ 511); partition
-      // discovery types the tbk directory values as INT, and the probe side
-      // must match exactly — a cast on the partition column would defeat
-      // partition pruning
-      val probes = emb(s, d).filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"),
-          explode(rpLshProbes(col("embedding"), LshTables, LshBits))
-            .as("tbk0"))
-        .select(col("q_id"), col("tbk0").cast("int").as("tbk"))
-      val probeKeys = probes.select(col("tbk")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      val index = s.read.parquet(dir)
-        .filter(col("tbk").isin(probeKeys.map(Int.box): _*))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("c_id"))
-      probes.join(index, Seq("tbk"))
-        .select(col("q_id"), col("c_id")).distinct()
-        .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), "q_id")
-        .join(e.select(col("vec_id").as("c_id"), col("v").as("c_v")), "c_id")
-        .select(col("q_id"), col("c_id"),
-          cosineD(col("q_v"), col("c_v")).as("cos"))
-        .select(col("q_id"), col("c_id"), col("cos"),
-          row_number().over(w).as("rank"))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
+      serveLshTopK(s, d,
+        emb(s, d).filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding")))),
+
+    // STREAMING ANN serving — the serving half of a real pipeline run
+    // under the streaming execution path (VERDICT r4 stretch item): query
+    // vectors arrive as file-source micro-batches (one file per trigger,
+    // the endpoint's request batches), and each batch runs the SAME
+    // pruned-index serve as ss08 inside foreachBatch — per micro-batch:
+    // derive probe keys from the batch's vectors, read only those
+    // partitions of the materialized index, verify + top-k. foreachBatch
+    // is the production shape for serve-from-index jobs: the per-batch
+    // work is a full batch plan (partition pruning included — a
+    // stream-static join could not prune, it would rescan the whole
+    // index every trigger). NorthStarSpec asserts the drained results
+    // equal batch ss08's exactly. No SQL oracle (LSH); rows-only check.
+    "ss09_stream_ann_serve" -> ((s, d) => {
+      import java.nio.file.Files
+      val qdir = Files.createTempDirectory("graft-ss09-q")
+      val ckpt = Files.createTempDirectory("graft-ss09-ckpt")
+      try {
+        // the same 3-query serving set as ss08, split into two request
+        // micro-batches (mtime order drives trigger order)
+        val qsrc = emb(s, d).filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding"))
+        val t0 = System.currentTimeMillis()
+        StreamingQueries.stageAsFile(qsrc.filter(col("vec_id") === 0),
+          qdir.resolve("q0.parquet"), t0)
+        StreamingQueries.stageAsFile(qsrc.filter(col("vec_id") >= 1),
+          qdir.resolve("q1.parquet"), t0 + 60000)
+        val stream = s.readStream.schema(qsrc.schema)
+          .option("maxFilesPerTrigger", "1").parquet(qdir.toString)
+        val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val served = serveLshTopK(s, d, batch)
+            outSchema = served.schema
+            buf.synchronized { buf ++= served.collect() }
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.createDataFrame(java.util.Arrays.asList(buf.toArray: _*), outSchema)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(qdir.toFile)
+      }
     }),
 
     // Per-label centroid norms — a coarse-quantization (IVF-style) summary:

@@ -21,6 +21,69 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object StreamingQueries {
 
+  // st08's typed plumbing: input row, per-user open-session state, and
+  // emitted session record for flatMapGroupsWithState
+  private[operators] case class SessEvent(user_id: Long,
+    ts: java.sql.Timestamp, value: Double)
+  private[operators] case class SessState(startUs: Long, lastUs: Long,
+    n: Long, sumCents: Long)
+  private[operators] case class SessOut(user_id: Long,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+    n_events: Long, session_value: Double)
+
+  private def tsUs(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def usToTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  /** st08's state machine: fold a user's batch (sorted by event time) into
+    * 30-minute-gap sessions, emit the CLOSED ones, keep the open tail in
+    * state with an event-time timeout at last + 30 min — when the
+    * watermark passes it, the function re-fires with hasTimedOut and
+    * flushes the session. Value sums accumulate as exact integer cents
+    * (each event's value cast to decimal(18,2) semantics — HALF_UP, like
+    * Spark's own double→decimal cast), so the emitted session_value is
+    * shuffle-order-independent and engine-exact, the dsum discipline. */
+  private def sessionize(gapUs: Long)(user: Long, it: Iterator[SessEvent],
+      state: org.apache.spark.sql.streaming.GroupState[SessState])
+      : Iterator[SessOut] = {
+    def emit(st: SessState) = SessOut(user, usToTs(st.startUs),
+      usToTs(st.lastUs), st.n, st.sumCents / 100.0)
+    if (!it.hasNext && state.hasTimedOut) {
+      val r = Iterator.single(emit(state.get))
+      state.remove()
+      r
+    } else {
+      // group iterators carry no order guarantee — sort before folding
+      val evs = it.toIndexedSeq.sortBy(e => tsUs(e.ts))
+      var closed = List.empty[SessOut]
+      var cur = state.getOption
+      for (e <- evs) {
+        val us = tsUs(e.ts)
+        val cents = java.math.BigDecimal.valueOf(e.value)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+        cur match {
+          case Some(st) if us - st.lastUs <= gapUs =>
+            cur = Some(SessState(st.startUs, us, st.n + 1, st.sumCents + cents))
+          case Some(st) =>
+            closed ::= emit(st)
+            cur = Some(SessState(us, us, 1L, cents))
+          case None =>
+            cur = Some(SessState(us, us, 1L, cents))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000L + gapUs / 1000L)
+      }
+      closed.reverse.iterator
+    }
+  }
+
   /** Streaming-read the events fixture, converting the TIMESTAMP(NANOS)
     * column exactly as Tables.load does for batch. */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
@@ -67,6 +130,30 @@ object StreamingQueries {
   /** Append-mode drain for other modules' streaming pipelines (pp02). */
   private[graft] def drainAppend(s: SparkSession, df: DataFrame): DataFrame =
     drain(s, df, mode = "append")
+
+  /** Write `df` as ONE plain parquet file at `out` with the given mtime —
+    * the file streaming source lists plain files only (it does not
+    * descend into a directory-shaped parquet output), and mtime order is
+    * microbatch order under maxFilesPerTrigger=1. Shared by the sentinel
+    * harness below and ss09's staged query stream. */
+  private[operators] def stageAsFile(df: DataFrame, out: java.nio.file.Path,
+      mtime: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft-stage")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      // Files.list streams hold an open directory fd until closed
+      val listing = Files.list(stage)
+      val part = try listing.filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally listing.close()
+      Files.move(part, out, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(out,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    }
+  }
 
   /** The click→purchase interval join both st06 and st07 run: watermarked
     * substreams of the sentineled source, joined on user equality with
@@ -143,25 +230,8 @@ object StreamingQueries {
             case "props" => "{}"
           }.toSeq)
         }
-        // the source lists FILES only (it does not descend into a
-        // directory-shaped parquet output), so stage the write and move
-        // the single part file into place as a plain file
-        val stage = Files.createTempDirectory("graft-st06-stage")
-        try {
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), rawSchema)
-            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-          // Files.list streams hold an open directory fd until closed
-          val listing = Files.list(stage)
-          val part = try listing.filter(p =>
-            p.getFileName.toString.startsWith("part-")).findFirst().get()
-          finally listing.close()
-          val out = srcDir.resolve(name)
-          Files.move(part, out, StandardCopyOption.REPLACE_EXISTING)
-          Files.setLastModifiedTime(out,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        } finally {
-          org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
-        }
+        stageAsFile(s.createDataFrame(java.util.Arrays.asList(rows: _*), rawSchema),
+          srcDir.resolve(name), mtime)
       }
       val t0 = Files.getLastModifiedTime(fixture).toMillis
       writeSentinel("sentinel1.parquet", "2030-01-01T00:00:00Z", t0 + 60000)
@@ -285,6 +355,30 @@ object StreamingQueries {
       }.filter(year(col("win_start")) < lit(2030))
     }),
 
+    // CUSTOM sessionization via flatMapGroupsWithState — the arbitrary-
+    // stateful-processing API, oracle-gated (VERDICT r4 item 5; st02's
+    // session_window is the built-in twin, this is the hand-rolled state
+    // machine a pipeline writes when sessions need custom semantics —
+    // here session_end = last event, not last + gap). Closed sessions
+    // emit inline; open tails sit in state under an event-time timeout
+    // and flush when the sentinel harness advances the watermark past
+    // them — st06's close-out discipline, now for arbitrary state.
+    // Deterministic: per-batch events are sorted by event time inside
+    // the function and values accumulate as exact cents, so the drained
+    // table equals DuckDB's batch gaps-and-islands formulation exactly.
+    "st08_stream_fmgws_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      import s.implicits._
+      drainWithSentinels(s, d) { src =>
+        src.select(col("user_id"), col("ts"), col("value")).as[SessEvent]
+          .withWatermark("ts", "10 minutes")
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.EventTimeTimeout)(sessionize(30L * 60 * 1000000))
+          .toDF()
+      }.filter(col("user_id") >= 0)
+    }),
+
     // Per-user session windows (30-minute gap): the streaming engine's
     // session merging vs DuckDB's gaps-and-islands formulation.
     "st02_stream_sessions" -> ((s, d) => {
@@ -366,6 +460,29 @@ object StreamingQueries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM shifted
       GROUP BY 1, 2""",
+
+    // st02's gaps-and-islands with st08's emission (session_end = last
+    // event itself; value as exact decimal cents)
+    "st08_stream_fmgws_sessions" -> """
+      WITH o AS (
+        SELECT user_id, ts, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events),
+           m AS (
+        SELECT user_id, ts, value,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o)
+      SELECT user_id,
+             CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+             CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM m
+      GROUP BY user_id, session_id""",
 
     // gaps-and-islands: a session breaks when the gap to the previous event
     // of the same user exceeds 30 minutes; session_end = last event + gap

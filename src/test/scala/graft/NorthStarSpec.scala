@@ -120,6 +120,17 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"served diverges: extra=${served.diff(live).size} missing=${live.diff(served).size}")
   }
 
+  test("ss09 streaming serve equals batch ss08 exactly (per-query top-k is batch-invariant)") {
+    val batch = rows("ss08_ann_index_serve")
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = rows("ss09_stream_ann_serve")
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch,
+      s"streaming serve diverges: extra=${streamed.diff(batch).size} " +
+        s"missing=${batch.diff(streamed).size}")
+    assert(batch.nonEmpty)
+  }
+
   test("embedding LSH candidate volume is a small fraction of all pairs") {
     // The scale property VERDICT r2 flagged: the round-2 config (8 tables
     // × 4 bits) made ~41% of ALL pairs candidates — half a cross join.
