@@ -410,7 +410,7 @@ object Dedup {
     * Components are computed on the REP graph (exact-dup groups
     * collapsed — identical components, ~100× fewer nodes/edges); callers
     * expand to docs through the membership table. */
-  private def repComponents(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[operators] def repComponents(s: SparkSession, d: String): (DataFrame, DataFrame) = {
       // localCheckpoint (eager) TRUNCATES LINEAGE each round — without it
       // every iteration's plan embeds all previous rounds and Catalyst
       // planning goes superlinear (measured: round 6 took 92 s at sf0.01

@@ -71,6 +71,35 @@ object Pipelines {
           (sum(col("quality").cast(DecimalType(28, 6))).cast(DoubleType)
             / count(lit(1))).as("avg_quality"))
     }),
+    // NEAR-DUP-aware corpus prep — what a real LLM data job runs (fuzzy
+    // dedup, not just byte-exact): the dd12 cluster artifact picks ONE
+    // keeper per near-dup cluster (doc_id == comp_id — comp_id is the
+    // min doc id reachable, so the keeper is the cluster's canonical
+    // doc), then the pp01 quality gate + per-source rollup run over the
+    // surviving corpus. The "keep one per cluster" consumer the cluster
+    // table exists for, composed end-to-end with an exact oracle
+    // (recursive-CTE components + the same gate in SQL). At 100 TB the
+    // keeper filter is a membership-table predicate — no pair list ever
+    // materializes.
+    "pp03_neardup_clean_corpus" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val (groups, labels) = Dedup.repComponents(s, d)
+      val keepers = groups
+        .select(col("rep_id"), explode(col("members")).as("doc_id"))
+        .join(labels, "rep_id")
+        .filter(col("doc_id") === col("comp_id"))
+        .select(col("doc_id"))
+      docs.join(keepers, "doc_id")
+        .select(col("source"), col("n_chars"),
+          qualityScore(tokens(col("text"))).as("quality"))
+        .filter(col("quality") >= 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("quality").cast(DecimalType(28, 6))).cast(DoubleType)
+            / count(lit(1))).as("avg_quality"))
+    }),
+
     // corpus prep: exact-dedup (keep lowest doc_id per content
     // fingerprint) → quality gate → 80/10/10 md5-rank split → per-split
     // stats over the SURVIVING corpus
@@ -125,6 +154,50 @@ object Pipelines {
         FROM dd WHERE keep_rk = 1)
       SELECT source, COUNT(*) AS n_docs,
              CAST(SUM(content_chars) AS BIGINT) AS sum_content_chars,
+             CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS avg_quality
+      FROM q WHERE quality >= 0.5
+      GROUP BY source""",
+
+    // dd12's recursive-CTE components → keeper filter (doc = component
+    // min) → pp01's quality gate + per-source rollup
+    "pp03_neardup_clean_corpus" -> """
+      WITH RECURSIVE w AS (
+        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws
+        FROM documents),
+      g AS (SELECT ws, MIN(doc_id) AS rep_id FROM w GROUP BY ws),
+      m AS (SELECT w.doc_id, g.rep_id FROM w JOIN g USING (ws)),
+      p AS (
+        SELECT a.rep_id AS ra, b.rep_id AS rb
+        FROM g a JOIN g b ON a.rep_id < b.rep_id
+          AND LEN(a.ws) * 9 <= LEN(b.ws) * 10 AND LEN(b.ws) * 9 <= LEN(a.ws) * 10
+        WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9),
+      e AS (
+        SELECT ra AS u, rb AS v FROM p
+        UNION ALL
+        SELECT rb AS u, ra AS v FROM p),
+      r AS (
+        SELECT rep_id AS node, rep_id AS reach FROM g
+        UNION
+        SELECT e.v AS node, r.reach FROM r JOIN e ON e.u = r.node),
+      comp AS (SELECT node AS rep_id, MIN(reach) AS comp_id FROM r GROUP BY node),
+      keep AS (
+        SELECT m.doc_id FROM m JOIN comp USING (rep_id)
+        WHERE m.doc_id = comp.comp_id),
+      q AS (
+        SELECT d.source, d.n_chars,
+               ROUND(LEAST(1.0,
+                 (CAST(LEN(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], w)))
+                    AS DOUBLE) / LEN(string_split(text, ' ')) * 2
+                  + CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / LEN(string_split(text, ' ')))
+                 * (CASE WHEN LEN(string_split(text, ' ')) >= 20
+                         THEN 1.0 ELSE 0.5 END)), 6) AS quality
+        FROM documents d JOIN keep USING (doc_id))
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
                AS avg_quality
       FROM q WHERE quality >= 0.5
