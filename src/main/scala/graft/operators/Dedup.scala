@@ -382,9 +382,11 @@ object Dedup {
       val (groups, labels) = repComponents(s, d)
       val m = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
         .join(labels, "rep_id")
-      val sizes = m.groupBy(col("comp_id")).agg(count(lit(1)).as("n_members"))
-      m.join(sizes, "comp_id")
-        .select(col("doc_id"), col("rep_id"), col("comp_id"), col("n_members"))
+      // cluster size via a window count: the membership table shuffles on
+      // comp_id exactly ONCE (an agg+join formulation would shuffle it
+      // twice on the same key)
+      m.select(col("doc_id"), col("rep_id"), col("comp_id"),
+        count(lit(1)).over(Window.partitionBy(col("comp_id"))).as("n_members"))
     }),
 
     // Embedding near-dup: cosine similarity above threshold on a bounded
