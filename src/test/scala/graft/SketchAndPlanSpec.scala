@@ -226,6 +226,16 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pp03 consumes the materialized cluster artifact, not the propagation loop") {
+    // the production shape: the prep pipeline joins the checkpointed
+    // dd12 table (a parquet scan of the build-once artifact); if the
+    // component loop leaked back into this job's plan, the scan of
+    // graft-dd12-clusters would disappear
+    val p = plan("pp03_neardup_clean_corpus")
+    assert(p.contains("graft-dd12-clusters"),
+      s"expected a scan of the materialized cluster table:\n$p")
+  }
+
   test("q31: whole-stage codegen covers the aggregate (final AQE plan)") {
     val df = SparkEntry.queries("q31_embedding_stats")(spark, sf)
     df.collect() // AQE finalizes (and codegens) only on execution
