@@ -460,10 +460,23 @@ object Dedup {
       // not seen on any fixture, but reachable by adversarial chain
       // graphs), fall back to counted rounds until it holds.
       val (groups, repPairs) = prefixRepPairs(s, d)
+      (groups, propagateLabels(groups.select(col("rep_id")), repPairs))
+  }
+
+  /** The label-propagation loop itself, on an arbitrary rep graph —
+    * factored from [[repComponents]] so the FALLBACK path (certificate
+    * fails after the blind rounds, counted rounds take over) is testable
+    * with adversarial graphs: every fixture's rep graph has diameter ≤ 8
+    * and converges inside the blind rounds, so only a synthetic chain
+    * exercises the fallback. `reps`: one `rep_id` per node; `pairs`:
+    * undirected edges as (ra, rb). Returns (rep_id, comp_id) at the
+    * min-label fixpoint (certificate-verified — see the invariant
+    * argument above). */
+  private[graft] def propagateLabels(reps: DataFrame, pairs: DataFrame): DataFrame = {
       // both edge directions from ONE scan of the (expensive) verified
       // pair set — a unionAll of two selects would run the prefix-join
       // subtree twice
-      val edges = repPairs.select(explode(array(
+      val edges = pairs.select(explode(array(
           struct(col("ra").as("u"), col("rb").as("v")),
           struct(col("rb").as("u"), col("ra").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
@@ -473,7 +486,7 @@ object Dedup {
       // checkpointed leaf — a lazy init would splice 16 copies of the
       // upstream subtree into round 1's plan (measured: 6 s vs 1.2 s at
       // sf0.1 for the identical round otherwise)
-      var labels = groups.select(col("rep_id"), col("rep_id").as("comp_id"))
+      var labels = reps.select(col("rep_id"), col("rep_id").as("comp_id"))
         .localCheckpoint()
       def hopMin(l: DataFrame): DataFrame = {
         val nbrMin = edges
@@ -507,7 +520,7 @@ object Dedup {
       require(v == 0,
         s"dd09: label propagation did not converge ($v inconsistent edges " +
           s"after $extraRounds fallback rounds)")
-      (groups, labels)
+      labels
   }
 
   val oracles: Map[String, String] = Map(
