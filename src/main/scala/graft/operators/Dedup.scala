@@ -100,6 +100,22 @@ object Dedup {
     * 1-bit flip) against a radius-0 index side — ids only — and exact
     * cosine verifies INSIDE the join's output pipeline before anything
     * shuffles (dd04's verify-early discipline). */
+  /** Pre-verify LSH candidate pair stream (ids only, NOT deduped) on a
+    * (vec_id, v) corpus — the blocking stage, factored so NorthStarSpec's
+    * volume/recall measurements run the SHIPPED blocking rather than a
+    * re-implementation that could silently diverge from it. */
+  private[graft] def lshCandidatePairs(e: DataFrame,
+      tables: Int, bits: Int): DataFrame = {
+    import graft.functions.VectorOps
+    val index = e.select(col("vec_id").as("b_id"),
+      explode(VectorOps.rpLshTables(col("v"), tables, bits)).as("tbk"))
+    val probe = e.select(col("vec_id").as("a_id"),
+      explode(VectorOps.rpLshProbes(col("v"), tables, bits)).as("tbk"))
+    probe.join(index, Seq("tbk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+  }
+
   private def embeddingLshPairs(s: SparkSession, e0: DataFrame,
       tables: Int, bits: Int, thr: Double): DataFrame = {
     import graft.functions.VectorOps
@@ -108,17 +124,11 @@ object Dedup {
     // parquet split = one task otherwise; explicit numPartitions keeps
     // AQE from coalescing the tiny exchange back to a single partition)
     val e = e0.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    val index = e.select(col("vec_id").as("b_id"),
-      explode(VectorOps.rpLshTables(col("v"), tables, bits)).as("tbk"))
-    val probe = e.select(col("vec_id").as("a_id"),
-      explode(VectorOps.rpLshProbes(col("v"), tables, bits)).as("tbk"))
     // verify BEFORE the distinct: vectors join on ids (broadcast-size
     // here, hash joins at scale), exact cosine decimates the candidate
     // stream inside codegen, and only verified pairs (×collision
     // multiplicity — bounded by `tables`) reach the distinct
-    probe.join(index, Seq("tbk"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+    lshCandidatePairs(e, tables, bits)
       .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
       .select(col("a_id"), col("b_id"),
@@ -153,17 +163,20 @@ object Dedup {
     * near-duplicate twin per vector (id + 1e6). The fixtures contain NO
     * high-cosine pairs (measured max 0.60 at every sf), so the
     * production-threshold tier is exercised on planted ground truth the
-    * oracle can reproduce: v'ᵢ = vᵢ + ‖v‖/80 · tᵢ with the integer
-    * pattern tᵢ = ((vec_id·37 + i·101) mod 5) − 2 (i 1-based) — pure
-    * IEEE ops, identical in DuckDB's list_transform, landing twins at
-    * cos ≈ 0.990 while every cross pair stays below 0.52. */
-  private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    * oracle can reproduce: v'ᵢ = vᵢ + ‖v‖/amplitude · tᵢ with the
+    * integer pattern tᵢ = ((vec_id·37 + i·101) mod 5) − 2 (i 1-based) —
+    * pure IEEE ops, identical in DuckDB's list_transform. The default
+    * amplitude 80 (the dd13 query's) lands twins at cos ≈ 0.990 while
+    * every cross pair stays below 0.52; NorthStarSpec plants a harder
+    * amplitude-32 (cos ≈ 0.94) set for its recall bound. */
+  private[graft] def plantedCorpus(s: SparkSession, d: String,
+      amplitude: Double = 80.0): DataFrame = {
     import graft.functions.VectorOps
     val e = Tables.load(s, d, "embeddings")
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
     val nrm = VectorOps.norm(col("v"))
     val planted = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
-      transform(col("v"), (x, i) => x + nrm / lit(80.0) *
+      transform(col("v"), (x, i) => x + nrm / lit(amplitude) *
         (((col("vec_id") * 37 + (i + lit(1)) * 101) % 5) - lit(2)).cast("double"))
         .as("v"))
     e.unionAll(planted)
@@ -523,6 +536,33 @@ object Dedup {
       labels
   }
 
+  /** The recursive-CTE component computation shared VERBATIM by the
+    * dd09/dd12/pp03 oracles — one definition so their ground truths
+    * cannot drift apart (the LshTables/LshBits discipline, applied to
+    * oracle SQL). Ends with `m(doc_id, rep_id)` and
+    * `comp(rep_id, comp_id)` ready for the op-specific tail. */
+  private[graft] val ComponentOracleCte: String = """
+      WITH RECURSIVE w AS (
+        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws
+        FROM documents),
+      g AS (SELECT ws, MIN(doc_id) AS rep_id FROM w GROUP BY ws),
+      m AS (SELECT w.doc_id, g.rep_id FROM w JOIN g USING (ws)),
+      p AS (
+        SELECT a.rep_id AS ra, b.rep_id AS rb
+        FROM g a JOIN g b ON a.rep_id < b.rep_id
+          AND LEN(a.ws) * 9 <= LEN(b.ws) * 10 AND LEN(b.ws) * 9 <= LEN(a.ws) * 10
+        WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9),
+      e AS (
+        SELECT ra AS u, rb AS v FROM p
+        UNION ALL
+        SELECT rb AS u, ra AS v FROM p),
+      r AS (
+        SELECT rep_id AS node, rep_id AS reach FROM g
+        UNION
+        SELECT e.v AS node, r.reach FROM r JOIN e ON e.u = r.node),
+      comp AS (SELECT node AS rep_id, MIN(reach) AS comp_id FROM r GROUP BY node)"""
+
   val oracles: Map[String, String] = Map(
     "dd11_tokenset_dedup" -> """
       WITH c AS (
@@ -604,53 +644,13 @@ object Dedup {
     // recursion's per-iteration join explode; the rep graph has the same
     // components at a tiny fraction of the edges. Membership join maps
     // every doc to its rep's component at the end.
-    "dd09_dup_components" -> """
-      WITH RECURSIVE w AS (
-        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws
-        FROM documents),
-      g AS (SELECT ws, MIN(doc_id) AS rep_id FROM w GROUP BY ws),
-      m AS (SELECT w.doc_id, g.rep_id FROM w JOIN g USING (ws)),
-      p AS (
-        SELECT a.rep_id AS ra, b.rep_id AS rb
-        FROM g a JOIN g b ON a.rep_id < b.rep_id
-          AND LEN(a.ws) * 9 <= LEN(b.ws) * 10 AND LEN(b.ws) * 9 <= LEN(a.ws) * 10
-        WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
-                / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9),
-      e AS (
-        SELECT ra AS u, rb AS v FROM p
-        UNION ALL
-        SELECT rb AS u, ra AS v FROM p),
-      r AS (
-        SELECT rep_id AS node, rep_id AS reach FROM g
-        UNION
-        SELECT e.v AS node, r.reach FROM r JOIN e ON e.u = r.node),
-      comp AS (SELECT node AS rep_id, MIN(reach) AS comp_id FROM r GROUP BY node)
+    "dd09_dup_components" -> s"""$ComponentOracleCte
       SELECT m.doc_id, comp.comp_id
       FROM m JOIN comp USING (rep_id)""",
 
     // dd09's recursive reachability + the membership/size joins — the
     // cluster table is the docs-to-components map with component sizes
-    "dd12_dedup_clusters" -> """
-      WITH RECURSIVE w AS (
-        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws
-        FROM documents),
-      g AS (SELECT ws, MIN(doc_id) AS rep_id FROM w GROUP BY ws),
-      m AS (SELECT w.doc_id, g.rep_id FROM w JOIN g USING (ws)),
-      p AS (
-        SELECT a.rep_id AS ra, b.rep_id AS rb
-        FROM g a JOIN g b ON a.rep_id < b.rep_id
-          AND LEN(a.ws) * 9 <= LEN(b.ws) * 10 AND LEN(b.ws) * 9 <= LEN(a.ws) * 10
-        WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
-                / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9),
-      e AS (
-        SELECT ra AS u, rb AS v FROM p
-        UNION ALL
-        SELECT rb AS u, ra AS v FROM p),
-      r AS (
-        SELECT rep_id AS node, rep_id AS reach FROM g
-        UNION
-        SELECT e.v AS node, r.reach FROM r JOIN e ON e.u = r.node),
-      comp AS (SELECT node AS rep_id, MIN(reach) AS comp_id FROM r GROUP BY node),
+    "dd12_dedup_clusters" -> s"""$ComponentOracleCte,
       dc AS (SELECT m.doc_id, m.rep_id, comp.comp_id
              FROM m JOIN comp USING (rep_id)),
       sz AS (SELECT comp_id, COUNT(*) AS n_members FROM dc GROUP BY comp_id)

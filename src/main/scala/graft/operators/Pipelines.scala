@@ -134,8 +134,21 @@ object Pipelines {
     })
   )
 
+  /** The qualityScore column as DuckDB SQL over a text expression — the
+    * SQL twin of [[qualityScore]], shared by the pp01/pp02/pp03 oracles
+    * so the three gates cannot drift apart. */
+  private def qualitySql(t: String): String = s"""
+               ROUND(LEAST(1.0,
+                 (CAST(LEN(list_filter(string_split($t, ' '),
+                    w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], w)))
+                    AS DOUBLE) / LEN(string_split($t, ' ')) * 2
+                  + CAST(LEN(list_distinct(string_split($t, ' '))) AS DOUBLE)
+                    / LEN(string_split($t, ' ')))
+                 * (CASE WHEN LEN(string_split($t, ' ')) >= 20
+                         THEN 1.0 ELSE 0.5 END)), 6)"""
+
   val oracles: Map[String, String] = Map(
-    "pp02_stream_clean_corpus" -> """
+    "pp02_stream_clean_corpus" -> s"""
       WITH dd AS (
         SELECT source, text,
                ROW_NUMBER() OVER (PARTITION BY source, md5(TRIM(LOWER(text)))
@@ -143,14 +156,7 @@ object Pipelines {
         FROM documents),
            q AS (
         SELECT source, LENGTH(TRIM(LOWER(text))) AS content_chars,
-               ROUND(LEAST(1.0,
-                 (CAST(LEN(list_filter(string_split(TRIM(LOWER(text)), ' '),
-                    w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], w)))
-                    AS DOUBLE) / LEN(string_split(TRIM(LOWER(text)), ' ')) * 2
-                  + CAST(LEN(list_distinct(string_split(TRIM(LOWER(text)), ' '))) AS DOUBLE)
-                    / LEN(string_split(TRIM(LOWER(text)), ' ')))
-                 * (CASE WHEN LEN(string_split(TRIM(LOWER(text)), ' ')) >= 20
-                         THEN 1.0 ELSE 0.5 END)), 6) AS quality
+               ${qualitySql("TRIM(LOWER(text))")} AS quality
         FROM dd WHERE keep_rk = 1)
       SELECT source, COUNT(*) AS n_docs,
              CAST(SUM(content_chars) AS BIGINT) AS sum_content_chars,
@@ -159,42 +165,15 @@ object Pipelines {
       FROM q WHERE quality >= 0.5
       GROUP BY source""",
 
-    // dd12's recursive-CTE components → keeper filter (doc = component
-    // min) → pp01's quality gate + per-source rollup
-    "pp03_neardup_clean_corpus" -> """
-      WITH RECURSIVE w AS (
-        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws
-        FROM documents),
-      g AS (SELECT ws, MIN(doc_id) AS rep_id FROM w GROUP BY ws),
-      m AS (SELECT w.doc_id, g.rep_id FROM w JOIN g USING (ws)),
-      p AS (
-        SELECT a.rep_id AS ra, b.rep_id AS rb
-        FROM g a JOIN g b ON a.rep_id < b.rep_id
-          AND LEN(a.ws) * 9 <= LEN(b.ws) * 10 AND LEN(b.ws) * 9 <= LEN(a.ws) * 10
-        WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
-                / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9),
-      e AS (
-        SELECT ra AS u, rb AS v FROM p
-        UNION ALL
-        SELECT rb AS u, ra AS v FROM p),
-      r AS (
-        SELECT rep_id AS node, rep_id AS reach FROM g
-        UNION
-        SELECT e.v AS node, r.reach FROM r JOIN e ON e.u = r.node),
-      comp AS (SELECT node AS rep_id, MIN(reach) AS comp_id FROM r GROUP BY node),
+    // dd09's component CTE (ONE shared definition — Dedup) → keeper
+    // filter (doc = component min) → pp01's quality gate + rollup
+    "pp03_neardup_clean_corpus" -> s"""${Dedup.ComponentOracleCte},
       keep AS (
         SELECT m.doc_id FROM m JOIN comp USING (rep_id)
         WHERE m.doc_id = comp.comp_id),
       q AS (
         SELECT d.source, d.n_chars,
-               ROUND(LEAST(1.0,
-                 (CAST(LEN(list_filter(string_split(text, ' '),
-                    w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], w)))
-                    AS DOUBLE) / LEN(string_split(text, ' ')) * 2
-                  + CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                    / LEN(string_split(text, ' ')))
-                 * (CASE WHEN LEN(string_split(text, ' ')) >= 20
-                         THEN 1.0 ELSE 0.5 END)), 6) AS quality
+               ${qualitySql("text")} AS quality
         FROM documents d JOIN keep USING (doc_id))
       SELECT source, COUNT(*) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -203,7 +182,7 @@ object Pipelines {
       FROM q WHERE quality >= 0.5
       GROUP BY source""",
 
-    "pp01_clean_corpus" -> """
+    "pp01_clean_corpus" -> s"""
       WITH dd AS (
         SELECT doc_id, source, text, n_chars,
                ROW_NUMBER() OVER (PARTITION BY md5(TRIM(LOWER(text)))
@@ -211,14 +190,7 @@ object Pipelines {
         FROM documents),
            q AS (
         SELECT doc_id, source, text, n_chars,
-               ROUND(LEAST(1.0,
-                 (CAST(LEN(list_filter(string_split(text, ' '),
-                    w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], w)))
-                    AS DOUBLE) / LEN(string_split(text, ' ')) * 2
-                  + CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                    / LEN(string_split(text, ' ')))
-                 * (CASE WHEN LEN(string_split(text, ' ')) >= 20
-                         THEN 1.0 ELSE 0.5 END)), 6) AS quality
+               ${qualitySql("text")} AS quality
         FROM dd WHERE keep_rk = 1),
            g AS (SELECT * FROM q WHERE quality >= 0.5),
            r AS (

@@ -112,9 +112,15 @@ object Similarity {
       .filter(col("tbk").isin(probeKeys.toIndexedSeq.map(Int.box): _*))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
+    // the query vector comes from the REQUEST batch itself (a serving
+    // endpoint's queries need not exist in the corpus — re-fetching q_v
+    // from `e` would silently drop unknown query ids); only candidate
+    // vectors re-join from the corpus
+    val qvecs = queryVecs.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_v"))
     probes.join(index, Seq("tbk"))
       .select(col("q_id"), col("c_id")).distinct()
-      .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), "q_id")
+      .join(qvecs, "q_id")
       .join(e.select(col("vec_id").as("c_id"), col("v").as("c_v")), "c_id")
       .select(col("q_id"), col("c_id"),
         cosineD(col("q_v"), col("c_v")).as("cos"))

@@ -59,28 +59,43 @@ object StreamingQueries {
     } else {
       // group iterators carry no order guarantee — sort before folding
       val evs = it.toIndexedSeq.sortBy(e => tsUs(e.ts))
-      var closed = List.empty[SessOut]
-      var cur = state.getOption
+      // 1. fold the batch into its own gaps-and-islands sessions
+      var batch = List.empty[SessState]
       for (e <- evs) {
         val us = tsUs(e.ts)
         val cents = java.math.BigDecimal.valueOf(e.value)
           .setScale(2, java.math.RoundingMode.HALF_UP)
           .movePointRight(2).longValueExact()
-        cur match {
-          case Some(st) if us - st.lastUs <= gapUs =>
-            cur = Some(SessState(st.startUs, us, st.n + 1, st.sumCents + cents))
-          case Some(st) =>
-            closed ::= emit(st)
-            cur = Some(SessState(us, us, 1L, cents))
-          case None =>
-            cur = Some(SessState(us, us, 1L, cents))
+        batch = batch match {
+          case h :: t if us - h.lastUs <= gapUs =>
+            SessState(h.startUs, us, h.n + 1, h.sumCents + cents) :: t
+          case other =>
+            SessState(us, us, 1L, cents) :: other
         }
       }
-      cur.foreach { st =>
-        state.update(st)
-        state.setTimeoutTimestamp(st.lastUs / 1000L + gapUs / 1000L)
+      // 2. merge the open state session into the batch's session
+      //    timeline by the same interval-gap rule (a watermark-admitted
+      //    batch may hold events OLDER than the open session — a plain
+      //    "extend the open session" fold would rewind its end and split
+      //    later events off incorrectly); sessions are disjoint-by-gap
+      //    after this pass, so every one but the newest is closed
+      val merged = (state.getOption.toList ++ batch.reverse)
+        .sortBy(_.startUs)
+        .foldLeft(List.empty[SessState]) { (acc, s2) =>
+          acc match {
+            case h :: t if s2.startUs - h.lastUs <= gapUs =>
+              SessState(h.startUs, math.max(h.lastUs, s2.lastUs),
+                h.n + s2.n, h.sumCents + s2.sumCents) :: t
+            case _ => s2 :: acc
+          }
+        }.reverse
+      if (merged.isEmpty) Iterator.empty
+      else {
+        val open = merged.last
+        state.update(open)
+        state.setTimeoutTimestamp(open.lastUs / 1000L + gapUs / 1000L)
+        merged.init.map(emit).iterator
       }
-      closed.reverse.iterator
     }
   }
 

@@ -140,17 +140,12 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     // so ~10% is the practical floor here — at real near-dup thresholds
     // (≥ 0.8) the same machinery reaches ≪ 1%.
     import graft.functions.VectorOps
-    val tables = 160; val bits = 15
+    import graft.operators.Dedup.lshCandidatePairs
     val e = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
     val n = e.count()
-    val index = e.select(col("vec_id").as("b_id"),
-      explode(VectorOps.rpLshTables(col("v"), tables, bits)).as("tbk"))
-    val probe = e.select(col("vec_id").as("a_id"),
-      explode(VectorOps.rpLshProbes(col("v"), tables, bits)).as("tbk"))
-    val candidates = probe.join(index, Seq("tbk"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct().count()
+    val candidates = lshCandidatePairs(e, tables = 160, bits = 15)
+      .distinct().count()
     val allPairs = n * (n - 1) / 2
     val frac = candidates.toDouble / allPairs
     info(f"candidates=$candidates of $allPairs pairs ($frac%.4f)")
@@ -159,14 +154,8 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (cos ≥ 0.8, per-bit agreement p ≈ 0.8 vs 0.63 at the fixture's
     // 0.4) the same machinery needs only a handful of tables and the
     // random-pair candidate volume collapses below 1%
-    val t8 = 6; val b8 = 16
-    val idx8 = e.select(col("vec_id").as("b_id"),
-      explode(VectorOps.rpLshTables(col("v"), t8, b8)).as("tbk"))
-    val prb8 = e.select(col("vec_id").as("a_id"),
-      explode(VectorOps.rpLshProbes(col("v"), t8, b8)).as("tbk"))
-    val cand8 = prb8.join(idx8, Seq("tbk"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct().count()
+    val cand8 = lshCandidatePairs(e, tables = 6, bits = 16)
+      .distinct().count()
     val frac8 = cand8.toDouble / allPairs
     info(f"cos-0.8-tuned config (6×16, r1): candidates=$cand8 ($frac8%.4f)")
     assert(frac8 <= 0.01,
@@ -179,24 +168,13 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sit at cos ≈ 0.99 (easy); this spec plants a HARDER set at
     // amplitude ‖v‖/32 → cos ≈ 0.94, just above the 0.8 threshold band
     // where near-dups actually live, and measures blocking recall there.
-    import graft.functions.VectorOps
-    val tables = 6; val bits = 16
-    val e = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-    val nrm = VectorOps.norm(col("v"))
-    val planted = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
-      transform(col("v"), (x, i) => x + nrm / lit(32.0) *
-        (((col("vec_id") * 37 + (i + lit(1)) * 101) % 5) - lit(2)).cast("double"))
-        .as("v"))
-    val u = e.unionAll(planted)
+    // the SHIPPED planting and blocking kernels (Dedup.plantedCorpus /
+    // lshCandidatePairs), only at the harder amplitude — re-implementing
+    // them here would let the spec silently measure a stale construction
+    val u = graft.operators.Dedup.plantedCorpus(spark, sf, amplitude = 32.0)
     val n = u.count()
-    val index = u.select(col("vec_id").as("b_id"),
-      explode(VectorOps.rpLshTables(col("v"), tables, bits)).as("tbk"))
-    val probe = u.select(col("vec_id").as("a_id"),
-      explode(VectorOps.rpLshProbes(col("v"), tables, bits)).as("tbk"))
-    val cand = probe.join(index, Seq("tbk"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    val cand = graft.operators.Dedup.lshCandidatePairs(u, tables = 6, bits = 16)
+      .distinct()
       .persist()
     try {
       val candN = cand.count()
@@ -206,7 +184,7 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
       // blocking recall on the cos≈0.94 planted pairs (deterministic for
       // the fixed seed; analytic expectation ~0.98 — each table collides
       // with P≈0.47, six tables miss together with P≈0.02)
-      val nTrue = e.count()
+      val nTrue = n / 2
       val found = cand.filter(col("b_id") === col("a_id") + 1000000L).count()
       val recall = found.toDouble / nTrue
       info(f"recall on cos≈0.94 planted pairs: $recall%.3f ($found/$nTrue)")
@@ -215,7 +193,7 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the shipped query recovers its own (cos≈0.99) twins exactly —
     // the measured-recall-1 claim its DuckDB oracle rests on
     val dd13 = rows("dd13_embedding_prod_neardup")
-    assert(dd13.length.toLong == e.count(), s"dd13 returned ${dd13.length} pairs")
+    assert(dd13.length.toLong == n / 2, s"dd13 returned ${dd13.length} pairs")
     assert(dd13.forall(r => r.getLong(1) == r.getLong(0) + 1000000L),
       "dd13 must return exactly the planted twin pairs")
   }
