@@ -23,11 +23,11 @@ object StreamingQueries {
 
   // st08's typed plumbing: input row, per-user open-session state, and
   // emitted session record for flatMapGroupsWithState
-  private[operators] case class SessEvent(user_id: Long,
+  private[graft] case class SessEvent(user_id: Long,
     ts: java.sql.Timestamp, value: Double)
-  private[operators] case class SessState(startUs: Long, lastUs: Long,
+  private[graft] case class SessState(startUs: Long, lastUs: Long,
     n: Long, sumCents: Long)
-  private[operators] case class SessOut(user_id: Long,
+  private[graft] case class SessOut(user_id: Long,
     session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
     n_events: Long, session_value: Double)
 
@@ -47,7 +47,7 @@ object StreamingQueries {
     * (each event's value cast to decimal(18,2) semantics — HALF_UP, like
     * Spark's own double→decimal cast), so the emitted session_value is
     * shuffle-order-independent and engine-exact, the dsum discipline. */
-  private def sessionize(gapUs: Long)(user: Long, it: Iterator[SessEvent],
+  private[graft] def sessionize(gapUs: Long)(user: Long, it: Iterator[SessEvent],
       state: org.apache.spark.sql.streaming.GroupState[SessState])
       : Iterator[SessOut] = {
     def emit(st: SessState) = SessOut(user, usToTs(st.startUs),

@@ -243,4 +243,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(n == 4, s"expected 4 overlapping windows, got $n")
     } finally q.stop()
   }
+
+  test("st08 sessionize merges watermark-admitted older events across micro-batches") {
+    // regression for the cross-batch rewind bug: an older-but-in-gap
+    // event arriving in a LATER micro-batch must extend the open session
+    // backwards (min start), never rewind its end — a signed-gap fold
+    // set lastUs to the older event and mis-split the next event off.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.operators.StreamingQueries.{sessionize, SessEvent, SessState}
+    val gapUs = 30L * 60 * 1000000
+    val f = sessionize(gapUs) _
+    def ev(min: Long) = SessEvent(7L, ts(min.toInt), 1.0)
+    def us(min: Long) = ts(min.toInt).getTime * 1000L
+    def st(prev: Option[SessState], timedOut: Boolean = false) =
+      TestGroupState.create[SessState](
+        prev.map(Optional.of[SessState]).getOrElse(Optional.empty[SessState]()),
+        GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(Long.box(0L)), timedOut)
+    // batch 1: open session [600, 620]
+    val s1 = st(None)
+    assert(f(7L, Iterator(ev(600), ev(620)), s1).isEmpty)
+    assert(s1.get == SessState(us(600), us(620), 2L, 200L))
+    // batch 2: event at 595 — older than the open start, within gap
+    val s2 = st(Some(s1.get))
+    assert(f(7L, Iterator(ev(595)), s2).isEmpty)
+    assert(s2.get == SessState(us(595), us(620), 3L, 300L),
+      s"older event must extend the session backwards: ${s2.get}")
+    // batch 3: event at 645 — within gap of the TRUE end 620 (the buggy
+    // fold had rewound the end to 595 and would split here)
+    val s3 = st(Some(s2.get))
+    assert(f(7L, Iterator(ev(645)), s3).isEmpty)
+    assert(s3.get == SessState(us(595), us(645), 4L, 400L))
+    // batch 4: far event closes [595, 645] and opens [800]
+    val s4 = st(Some(s3.get))
+    val closed = f(7L, Iterator(ev(800)), s4).toList
+    assert(closed.map(o => (o.session_start.getTime, o.session_end.getTime,
+      o.n_events, o.session_value)) ==
+      List((ts(595).getTime, ts(645).getTime, 4L, 4.0)))
+    assert(s4.get == SessState(us(800), us(800), 1L, 100L))
+    // timeout: the open tail flushes and state clears
+    val s5 = st(Some(s4.get), timedOut = true)
+    val flushed = f(7L, Iterator.empty, s5).toList
+    assert(flushed.map(o => (o.n_events, o.session_value)) == List((1L, 1.0)))
+    assert(s5.isRemoved, "timeout emission must clear the state")
+  }
 }
