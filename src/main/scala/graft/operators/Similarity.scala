@@ -97,7 +97,7 @@ object Similarity {
     * bucket ≤ 511); partition discovery types the tbk directory values as
     * INT and the probe side must match exactly — a cast on the partition
     * column would defeat partition pruning. */
-  private def serveLshTopK(s: SparkSession, d: String,
+  private[graft] def serveLshTopK(s: SparkSession, d: String,
       queryVecs: DataFrame): DataFrame = {
     val dir = lshIndexDir(s, d)
     val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -131,6 +131,27 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.nonEmpty)
   }
 
+  test("ANN serving answers query vectors that are NOT corpus rows") {
+    // a serving endpoint's queries need not exist in the indexed corpus —
+    // the serve path must score the request batch's own vector, not
+    // re-fetch it by id (which silently dropped unknown ids)
+    import graft.functions.VectorOps
+    val probe = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(lit(999999L).as("vec_id"),
+        transform(VectorOps.asDouble(col("embedding")), x => x * lit(1.5))
+          .cast("array<float>").as("embedding"))
+    val served = graft.operators.Similarity.serveLshTopK(spark, sf, probe).collect()
+    assert(served.length == 5, s"expected top-5 for the foreign query, got ${served.length}")
+    assert(served.forall(_.getLong(0) == 999999L))
+    // scaling a vector leaves cosine unchanged: the foreign query must
+    // rank exactly like corpus query 0 does in ss02/ss08 (same probes)
+    val own = rows("ss08_ann_index_serve").filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(served.map(r => (r.getLong(1), r.getInt(2))).toSet == own,
+      "scaled copy of query 0 must retrieve query 0's neighbors")
+  }
+
   test("embedding LSH candidate volume is a small fraction of all pairs") {
     // The scale property VERDICT r2 flagged: the round-2 config (8 tables
     // × 4 bits) made ~41% of ALL pairs candidates — half a cross join.
