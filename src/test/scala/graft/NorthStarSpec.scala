@@ -139,8 +139,12 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probe = Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") === 0)
       .select(lit(999999L).as("vec_id"),
+        // stay in doubles: *1.5 is IEEE-exact there, so hyperplane signs
+        // and cosine ranking provably match query 0's (a float
+        // round-trip would add half-ulp noise and make the equality
+        // below only probabilistic)
         transform(VectorOps.asDouble(col("embedding")), x => x * lit(1.5))
-          .cast("array<float>").as("embedding"))
+          .as("embedding"))
     val served = graft.operators.Similarity.serveLshTopK(spark, sf, probe).collect()
     assert(served.length == 5, s"expected top-5 for the foreign query, got ${served.length}")
     assert(served.forall(_.getLong(0) == 999999L))
