@@ -138,6 +138,66 @@ object Dedup {
       .distinct()
   }
 
+  // dd14's index: the corpus MinHash band table materialized ONCE per
+  // fixture, partitioned by a packed (band, bucket mod 16) key — 320
+  // directories, so an arriving batch's probe reads touch only its
+  // bands' buckets (ss08's index discipline, applied to dedup).
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val IngestSplitId = 50L  // doc_id < 50 = arriving stream
+  private val MhPerms = 160; private val MhBands = 20; private val MhRows = 8
+  private val PbMod = 16
+
+  /** dd14's per-batch gate: band-probe the materialized corpus index
+    * (partition-pruned to the batch's packed band/bucket keys), verify
+    * with exact Jaccard, and emit one ingest decision per arriving doc.
+    * Factored from the foreachBatch body so the pruning claim is
+    * plan-spec testable. */
+  private[graft] def ingestGate(s: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    val probes = batch
+      .select(col("doc_id").as("a_id"), tokenSetHashes(tokens(col("text"))).as("a_th"))
+      .withColumn("sig", minhashFromHashes(col("a_th"), MhPerms))
+      .select(col("a_id"), col("a_th"),
+        explode(minhashBands(col("sig"), MhBands, MhRows)).as("bk"))
+      .select(col("a_id"), col("a_th"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val pbKeys = probes
+      .select((col("band") * PbMod + pmod(col("bucket"), lit(PbMod))).cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val index = s.read.parquet(indexDir)
+      .filter(col("pb").isin(pbKeys.toIndexedSeq.map(Int.box): _*))
+    val matches = probes.join(index, Seq("band", "bucket"))
+      .select(col("a_id"), col("c_id"),
+        jaccardLong(col("a_th"), col("th")).as("jac"))
+      .filter(col("jac") >= 0.9)
+      .distinct()
+    batch.select(col("doc_id"))
+      .join(matches.withColumnRenamed("a_id", "doc_id"), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("c_id")).as("n_dups"),
+        when(count(col("c_id")) > 0, 1L).otherwise(0L).as("is_dup"),
+        round(coalesce(max(col("jac")), lit(0.0)), 6).as("best_jac"))
+  }
+
+  private[graft] def minhashIndexDir(s: SparkSession, d: String): String =
+    minhashIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dd14-index").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+      docs(s, d).filter(col("doc_id") >= IngestSplitId)
+        .select(col("doc_id").as("c_id"), tokenSetHashes(tokens(col("text"))).as("th"))
+        .withColumn("sig", minhashFromHashes(col("th"), MhPerms))
+        .select(col("c_id"), col("th"),
+          explode(minhashBands(col("sig"), MhBands, MhRows)).as("bk"))
+        .select(col("c_id"), col("th"),
+          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        .withColumn("pb", (col("band") * PbMod + pmod(col("bucket"), lit(PbMod))).cast("int"))
+        .write.partitionBy("pb").mode("overwrite").parquet(dir)
+      dir
+    })
+
   // pp03's input: the dd12 cluster table materialized ONCE per fixture
   // (build once, consume many — ss08's index discipline). A production
   // prep pipeline joins the checkpointed dedup artifact; it does not
@@ -379,6 +439,55 @@ object Dedup {
     "dd13_embedding_prod_neardup" -> ((s, d) =>
       embeddingLshPairs(s, plantedCorpus(s, d), tables = 6, bits = 16,
         thr = 0.8)),
+
+    // STREAMING NEAR-DUP INGEST — the continuous-ingestion half of the
+    // dedup family (what ss08/ss09 are to ANN): arriving documents come
+    // in as file-source micro-batches and each batch is gated against
+    // the MATERIALIZED corpus MinHash band index inside foreachBatch —
+    // probe keys derive from the batch's own band signatures, the index
+    // read prunes to those partitions, exact Jaccard verifies, and the
+    // emitted artifact is the per-document ingest DECISION (dup or not,
+    // how many corpus matches, best similarity). dd04's blocking params
+    // (160 perms, 20×8 bands — measured recall 1 on the fixtures, same
+    // justification since signatures depend only on the token set), so
+    // the exact stream-vs-corpus SQL is a valid oracle. At 100 TB the
+    // index is the standing dedup state of the corpus; per-batch work is
+    // |batch|·bands probe rows against pruned buckets — never a corpus
+    // scan, never a pair list.
+    "dd14_stream_neardup_ingest" -> ((s, d) => {
+      import java.nio.file.Files
+      val dir = minhashIndexDir(s, d)
+      val qdir = Files.createTempDirectory("graft-dd14-q")
+      val ckpt = Files.createTempDirectory("graft-dd14-ckpt")
+      try {
+        val arriving = docs(s, d).filter(col("doc_id") < IngestSplitId)
+          .select(col("doc_id"), col("text"))
+        val t0 = System.currentTimeMillis()
+        StreamingQueries.stageAsFile(arriving.filter(col("doc_id") < 25),
+          qdir.resolve("b0.parquet"), t0)
+        StreamingQueries.stageAsFile(arriving.filter(col("doc_id") >= 25),
+          qdir.resolve("b1.parquet"), t0 + 60000)
+        val stream = s.readStream.schema(arriving.schema)
+          .option("maxFilesPerTrigger", "1").parquet(qdir.toString)
+        val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val decided = ingestGate(s, dir, batch)
+            outSchema = decided.schema
+            buf.synchronized { buf ++= decided.collect() }
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.createDataFrame(java.util.Arrays.asList(buf.toArray: _*), outSchema)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(qdir.toFile)
+      }
+    }),
 
     // Duplicate-cluster CONNECTED COMPONENTS: collapse the verified
     // near-dup pair set (dd07's lossless edges) into clusters and assign
@@ -656,6 +765,32 @@ object Dedup {
       sz AS (SELECT comp_id, COUNT(*) AS n_members FROM dc GROUP BY comp_id)
       SELECT dc.doc_id, dc.rep_id, dc.comp_id, sz.n_members
       FROM dc JOIN sz USING (comp_id)""",
+
+    // exact stream-vs-corpus ground truth: every arriving doc LEFT-joined
+    // to its jac>=0.9 corpus matches (valid as an exact oracle because
+    // the 160/20x8 blocking measures recall 1 on the fixtures — dd04's
+    // justification; signatures depend only on the token set)
+    "dd14_stream_neardup_ingest" -> """
+      WITH arr AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        FROM documents WHERE doc_id < 50),
+      cor AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        FROM documents WHERE doc_id >= 50),
+      m AS (
+        SELECT a.doc_id AS a_id, c.doc_id AS c_id,
+               CAST(LEN(list_intersect(a.ws, c.ws)) AS DOUBLE)
+                 / (LEN(a.ws) + LEN(c.ws) - LEN(list_intersect(a.ws, c.ws))) AS jac
+        FROM arr a JOIN cor c
+          ON LEN(a.ws) * 9 <= LEN(c.ws) * 10 AND LEN(c.ws) * 9 <= LEN(a.ws) * 10
+        WHERE CAST(LEN(list_intersect(a.ws, c.ws)) AS DOUBLE)
+                / (LEN(a.ws) + LEN(c.ws) - LEN(list_intersect(a.ws, c.ws))) >= 0.9)
+      SELECT arr.doc_id,
+             CAST(COUNT(m.c_id) AS BIGINT) AS n_dups,
+             CAST(CASE WHEN COUNT(m.c_id) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+             ROUND(COALESCE(MAX(m.jac), 0), 6) AS best_jac
+      FROM arr LEFT JOIN m ON m.a_id = arr.doc_id
+      GROUP BY arr.doc_id""",
 
     // the planted twin corpus reproduced in SQL (see plantedCorpus: pure
     // IEEE arithmetic, DuckDB's 1-based list_transform index matches the

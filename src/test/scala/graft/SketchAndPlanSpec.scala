@@ -226,6 +226,29 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dd14 ingest gate prunes the band index to the batch's probe partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = graft.operators.Dedup.minhashIndexDir(spark, sf)
+    // a 3-doc arriving batch: its probe set covers at most 3·20 of the
+    // 320 packed band/bucket partitions — the scan must prune
+    val batch = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 3).select(col("doc_id"), col("text"))
+    val exec = graft.operators.Dedup.ingestGate(spark, dir, batch)
+      .queryExecution.executedPlan
+    val indexScans = flattenPlan(exec).collect {
+      case sc: FileSourceScanExec if sc.relation.partitionSchema.fieldNames.contains("pb") => sc
+    }
+    assert(indexScans.nonEmpty, s"expected a scan of the partitioned band index:\n$exec")
+    indexScans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        s"probe-key filter must prune partitions:\n$sc")
+      val selected = sc.selectedPartitions.totalNumberOfFiles
+      val total = sc.relation.location.inputFiles.length.toLong
+      assert(selected < total,
+        s"pruning selected $selected of $total index files — nothing pruned")
+    }
+  }
+
   test("pp03 consumes the materialized cluster artifact, not the propagation loop") {
     // the production shape: the prep pipeline joins the checkpointed
     // dd12 table (a parquet scan of the build-once artifact); if the
