@@ -146,8 +146,14 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] val IngestSplitId = 50L  // doc_id < 50 = arriving stream
-  private val MhPerms = 160; private val MhBands = 20; private val MhRows = 8
+  // dd04's tuned MinHash blocking (tools/LshTune) — shared with dd14
+  private val MhPerms = 160; private val MhBands = 20
+  private val MhRows = MhPerms / MhBands
   private val PbMod = 16
+  // dd13's planting shape — shared between plantedCorpus, its oracle
+  // SQL, and the NorthStarSpec assertions
+  private[graft] val PlantOffset = 1000000L
+  private[graft] val PlantAmplitude = 80.0
 
   /** dd14's per-batch gate: band-probe the materialized corpus index
     * (partition-pruned to the batch's packed band/bucket keys), verify
@@ -156,6 +162,10 @@ object Dedup {
     * plan-spec testable. */
   private[graft] def ingestGate(s: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
+    // eager localCheckpoint: the 160-permutation signatures are the
+    // dominant per-batch compute and feed BOTH the probe-key collect and
+    // the index join — without it the whole pipeline runs twice per
+    // batch (blocks are reclaimed by the ContextCleaner on GC)
     val probes = batch
       .select(col("doc_id").as("a_id"), tokenSetHashes(tokens(col("text"))).as("a_th"))
       .withColumn("sig", minhashFromHashes(col("a_th"), MhPerms))
@@ -163,6 +173,7 @@ object Dedup {
         explode(minhashBands(col("sig"), MhBands, MhRows)).as("bk"))
       .select(col("a_id"), col("a_th"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .localCheckpoint()
     val pbKeys = probes
       .select((col("band") * PbMod + pmod(col("bucket"), lit(PbMod))).cast("int").as("pb"))
       .distinct().collect().map(_.getInt(0)).sorted
@@ -182,10 +193,7 @@ object Dedup {
   }
 
   private[graft] def minhashIndexDir(s: SparkSession, d: String): String =
-    minhashIndexCache.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-dd14-index").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+    Materialized.dir(minhashIndexCache, "graft-dd14-index", d) { dir =>
       docs(s, d).filter(col("doc_id") >= IngestSplitId)
         .select(col("doc_id").as("c_id"), tokenSetHashes(tokens(col("text"))).as("th"))
         .withColumn("sig", minhashFromHashes(col("th"), MhPerms))
@@ -195,8 +203,7 @@ object Dedup {
           col("bk.band").as("band"), col("bk.bucket").as("bucket"))
         .withColumn("pb", (col("band") * PbMod + pmod(col("bucket"), lit(PbMod))).cast("int"))
         .write.partitionBy("pb").mode("overwrite").parquet(dir)
-      dir
-    })
+    }
 
   // pp03's input: the dd12 cluster table materialized ONCE per fixture
   // (build once, consume many — ss08's index discipline). A production
@@ -208,16 +215,10 @@ object Dedup {
   /** Path of the materialized (doc_id, rep_id, comp_id, n_members)
     * cluster table for fixture `d`, building it on first use. */
   private[operators] def clusterTableDir(s: SparkSession, d: String): String =
-    clusterTableCache.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-dd12-clusters").toString
-      // outlives individual queries, not the JVM (same lifecycle as the
-      // ss08 index dir)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+    Materialized.dir(clusterTableCache, "graft-dd12-clusters", d) { dir =>
       queries("dd12_dedup_clusters")(s, d)
         .write.mode("overwrite").parquet(dir)
-      dir
-    })
+    }
 
   /** dd13's derived corpus: the fixture embeddings plus one deterministic
     * near-duplicate twin per vector (id + 1e6). The fixtures contain NO
@@ -230,12 +231,12 @@ object Dedup {
     * every cross pair stays below 0.52; NorthStarSpec plants a harder
     * amplitude-32 (cos ≈ 0.94) set for its recall bound. */
   private[graft] def plantedCorpus(s: SparkSession, d: String,
-      amplitude: Double = 80.0): DataFrame = {
+      amplitude: Double = PlantAmplitude): DataFrame = {
     import graft.functions.VectorOps
     val e = Tables.load(s, d, "embeddings")
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
     val nrm = VectorOps.norm(col("v"))
-    val planted = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+    val planted = e.select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
       transform(col("v"), (x, i) => x + nrm / lit(amplitude) *
         (((col("vec_id") * 37 + (i + lit(1)) * 101) % 5) - lit(2)).cast("double"))
         .as("v"))
@@ -307,9 +308,12 @@ object Dedup {
     // arithmetic runs on hashed token sets (sorted array<long>) — strings
     // are hashed exactly once per doc.
     "dd04_minhash_lsh_pairs" -> ((s, d) => {
-      val perms = 160
-      val bands = 20
-      val rows = perms / bands
+      // ONE config with dd14's ingest gate: its oracle validity rests on
+      // THIS blocking's measured recall 1, so the two sites must never
+      // drift apart (the LshTables/LshBits discipline)
+      val perms = MhPerms
+      val bands = MhBands
+      val rows = MhRows
       // 1. collapse docs with IDENTICAL token sets to one representative —
       //    near-dup corpora are dominated by exact-set duplicate groups,
       //    and Jaccard only depends on the set. LSH then runs on the
@@ -455,38 +459,12 @@ object Dedup {
     // |batch|·bands probe rows against pruned buckets — never a corpus
     // scan, never a pair list.
     "dd14_stream_neardup_ingest" -> ((s, d) => {
-      import java.nio.file.Files
       val dir = minhashIndexDir(s, d)
-      val qdir = Files.createTempDirectory("graft-dd14-q")
-      val ckpt = Files.createTempDirectory("graft-dd14-ckpt")
-      try {
-        val arriving = docs(s, d).filter(col("doc_id") < IngestSplitId)
-          .select(col("doc_id"), col("text"))
-        val t0 = System.currentTimeMillis()
-        StreamingQueries.stageAsFile(arriving.filter(col("doc_id") < 25),
-          qdir.resolve("b0.parquet"), t0)
-        StreamingQueries.stageAsFile(arriving.filter(col("doc_id") >= 25),
-          qdir.resolve("b1.parquet"), t0 + 60000)
-        val stream = s.readStream.schema(arriving.schema)
-          .option("maxFilesPerTrigger", "1").parquet(qdir.toString)
-        val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
-        @volatile var outSchema: org.apache.spark.sql.types.StructType = null
-        val q = stream.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val decided = ingestGate(s, dir, batch)
-            outSchema = decided.schema
-            buf.synchronized { buf ++= decided.collect() }
-            ()
-          }
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.createDataFrame(java.util.Arrays.asList(buf.toArray: _*), outSchema)
-      } finally {
-        org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
-        org.apache.commons.io.FileUtils.deleteQuietly(qdir.toFile)
-      }
+      val arriving = docs(s, d).filter(col("doc_id") < IngestSplitId)
+        .select(col("doc_id"), col("text"))
+      StreamingQueries.drainForeachBatch(s, Seq(
+        arriving.filter(col("doc_id") < 25),
+        arriving.filter(col("doc_id") >= 25)))(ingestGate(s, dir, _))
     }),
 
     // Duplicate-cluster CONNECTED COMPONENTS: collapse the verified
@@ -770,13 +748,13 @@ object Dedup {
     // to its jac>=0.9 corpus matches (valid as an exact oracle because
     // the 160/20x8 blocking measures recall 1 on the fixtures — dd04's
     // justification; signatures depend only on the token set)
-    "dd14_stream_neardup_ingest" -> """
+    "dd14_stream_neardup_ingest" -> s"""
       WITH arr AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-        FROM documents WHERE doc_id < 50),
+        FROM documents WHERE doc_id < $IngestSplitId),
       cor AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-        FROM documents WHERE doc_id >= 50),
+        FROM documents WHERE doc_id >= $IngestSplitId),
       m AS (
         SELECT a.doc_id AS a_id, c.doc_id AS c_id,
                CAST(LEN(list_intersect(a.ws, c.ws)) AS DOUBLE)
@@ -797,12 +775,12 @@ object Dedup {
     // Spark side's i+1), then exact all-pairs at the production
     // threshold — valid as an exact oracle because the kernel's measured
     // recall on the planted pairs is 1 at every sf for the fixed seed
-    "dd13_embedding_prod_neardup" -> """
+    "dd13_embedding_prod_neardup" -> s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),
-      p AS (SELECT vec_id + 1000000 AS pid,
+      p AS (SELECT vec_id + $PlantOffset AS pid,
               list_transform(v, (x, i) -> x
-                + sqrt(list_inner_product(v, v)) / 80.0
+                + sqrt(list_inner_product(v, v)) / $PlantAmplitude
                 * CAST((vec_id * 37 + i * 101) % 5 - 2 AS DOUBLE)) AS v
             FROM e),
       u AS (SELECT vec_id, v FROM e

@@ -53,20 +53,13 @@ object Similarity {
     * a serving system stores it: queries touch only their probe buckets'
     * partitions (partition pruning), never the whole index. */
   private[graft] def lshIndexDir(s: SparkSession, d: String): String =
-    lshIndexCache.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ss08-index").toString
-      // the index outlives individual queries by design (build once, serve
-      // many) but must not outlive the JVM — verify/bench runs would
-      // otherwise accumulate 512-partition copies in /tmp forever
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+    Materialized.dir(lshIndexCache, "graft-ss08-index", d) { dir =>
       emb(s, d).filter(col("vec_id") >= 10)
         .select(col("vec_id").as("c_id"),
           explode(rpLshTables(col("embedding"), LshTables, LshBits))
             .as("tbk"))
         .write.partitionBy("tbk").mode("overwrite").parquet(dir)
-      dir
-    })
+    }
 
   /** Train the m per-subspace codebooks on the UNIT-NORMALIZED corpus side
     * (vec_id >= 10 — queries don't train the index). Deterministic: each
@@ -340,39 +333,13 @@ object Similarity {
     // index every trigger). NorthStarSpec asserts the drained results
     // equal batch ss08's exactly. No SQL oracle (LSH); rows-only check.
     "ss09_stream_ann_serve" -> ((s, d) => {
-      import java.nio.file.Files
-      val qdir = Files.createTempDirectory("graft-ss09-q")
-      val ckpt = Files.createTempDirectory("graft-ss09-ckpt")
-      try {
-        // the same 3-query serving set as ss08, split into two request
-        // micro-batches (mtime order drives trigger order)
-        val qsrc = emb(s, d).filter(col("vec_id") < 3)
-          .select(col("vec_id"), col("embedding"))
-        val t0 = System.currentTimeMillis()
-        StreamingQueries.stageAsFile(qsrc.filter(col("vec_id") === 0),
-          qdir.resolve("q0.parquet"), t0)
-        StreamingQueries.stageAsFile(qsrc.filter(col("vec_id") >= 1),
-          qdir.resolve("q1.parquet"), t0 + 60000)
-        val stream = s.readStream.schema(qsrc.schema)
-          .option("maxFilesPerTrigger", "1").parquet(qdir.toString)
-        val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
-        @volatile var outSchema: org.apache.spark.sql.types.StructType = null
-        val q = stream.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val served = serveLshTopK(s, d, batch)
-            outSchema = served.schema
-            buf.synchronized { buf ++= served.collect() }
-            ()
-          }
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.createDataFrame(java.util.Arrays.asList(buf.toArray: _*), outSchema)
-      } finally {
-        org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
-        org.apache.commons.io.FileUtils.deleteQuietly(qdir.toFile)
-      }
+      // the same 3-query serving set as ss08, split into two request
+      // micro-batches (mtime order drives trigger order)
+      val qsrc = emb(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding"))
+      StreamingQueries.drainForeachBatch(s, Seq(
+        qsrc.filter(col("vec_id") === 0),
+        qsrc.filter(col("vec_id") >= 1)))(serveLshTopK(s, d, _))
     }),
 
     // Per-label centroid norms — a coarse-quantization (IVF-style) summary:

@@ -27,6 +27,7 @@ object StreamingQueries {
     ts: java.sql.Timestamp, value: Double)
   private[graft] case class SessState(startUs: Long, lastUs: Long,
     n: Long, sumCents: Long)
+  private[graft] case class SessBuf(open: Seq[SessState])
   private[graft] case class SessOut(user_id: Long,
     session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
     n_events: Long, session_value: Double)
@@ -39,64 +40,64 @@ object StreamingQueries {
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
-  /** st08's state machine: fold a user's batch (sorted by event time) into
-    * 30-minute-gap sessions, emit the CLOSED ones, keep the open tail in
-    * state with an event-time timeout at last + 30 min — when the
-    * watermark passes it, the function re-fires with hasTimedOut and
-    * flushes the session. Value sums accumulate as exact integer cents
-    * (each event's value cast to decimal(18,2) semantics — HALF_UP, like
-    * Spark's own double→decimal cast), so the emitted session_value is
-    * shuffle-order-independent and engine-exact, the dsum discipline. */
+  /** st08's state machine — watermark-FINAL sessionization: the batch
+    * folds into its own gaps-and-islands sessions (sorted first — group
+    * iterators carry no order guarantee), merges with every undecided
+    * session in state by the interval-gap rule (min start / max end, so
+    * a watermark-admitted out-of-order event can extend a session
+    * backwards or BRIDGE two of them), and a session is emitted only
+    * once the watermark proves it final: watermark > last + gap means
+    * any still-admissible event has ts ≥ watermark > last + gap and can
+    * neither extend nor bridge it. Undecided sessions wait in state
+    * under an event-time timeout at the oldest session's last + gap.
+    * Value sums accumulate as exact integer cents (each value cast with
+    * Spark's double→decimal HALF_UP semantics), so the emitted
+    * session_value is order-independent and engine-exact — together
+    * these make the drained table equal the batch gaps-and-islands SQL
+    * for ANY watermark-admitted arrival order, not just single-batch
+    * fixtures. */
   private[graft] def sessionize(gapUs: Long)(user: Long, it: Iterator[SessEvent],
-      state: org.apache.spark.sql.streaming.GroupState[SessState])
+      state: org.apache.spark.sql.streaming.GroupState[SessBuf])
       : Iterator[SessOut] = {
     def emit(st: SessState) = SessOut(user, usToTs(st.startUs),
       usToTs(st.lastUs), st.n, st.sumCents / 100.0)
-    if (!it.hasNext && state.hasTimedOut) {
-      val r = Iterator.single(emit(state.get))
-      state.remove()
-      r
-    } else {
-      // group iterators carry no order guarantee — sort before folding
-      val evs = it.toIndexedSeq.sortBy(e => tsUs(e.ts))
-      // 1. fold the batch into its own gaps-and-islands sessions
-      var batch = List.empty[SessState]
-      for (e <- evs) {
-        val us = tsUs(e.ts)
-        val cents = java.math.BigDecimal.valueOf(e.value)
-          .setScale(2, java.math.RoundingMode.HALF_UP)
-          .movePointRight(2).longValueExact()
-        batch = batch match {
-          case h :: t if us - h.lastUs <= gapUs =>
-            SessState(h.startUs, us, h.n + 1, h.sumCents + cents) :: t
-          case other =>
-            SessState(us, us, 1L, cents) :: other
-        }
-      }
-      // 2. merge the open state session into the batch's session
-      //    timeline by the same interval-gap rule (a watermark-admitted
-      //    batch may hold events OLDER than the open session — a plain
-      //    "extend the open session" fold would rewind its end and split
-      //    later events off incorrectly); sessions are disjoint-by-gap
-      //    after this pass, so every one but the newest is closed
-      val merged = (state.getOption.toList ++ batch.reverse)
-        .sortBy(_.startUs)
-        .foldLeft(List.empty[SessState]) { (acc, s2) =>
-          acc match {
-            case h :: t if s2.startUs - h.lastUs <= gapUs =>
-              SessState(h.startUs, math.max(h.lastUs, s2.lastUs),
-                h.n + s2.n, h.sumCents + s2.sumCents) :: t
-            case _ => s2 :: acc
-          }
-        }.reverse
-      if (merged.isEmpty) Iterator.empty
-      else {
-        val open = merged.last
-        state.update(open)
-        state.setTimeoutTimestamp(open.lastUs / 1000L + gapUs / 1000L)
-        merged.init.map(emit).iterator
+    val evs = it.toIndexedSeq.sortBy(e => tsUs(e.ts))
+    var batch = List.empty[SessState]
+    for (e <- evs) {
+      val us = tsUs(e.ts)
+      val cents = java.math.BigDecimal.valueOf(e.value)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+      batch = batch match {
+        case h :: t if us - h.lastUs <= gapUs =>
+          SessState(h.startUs, us, h.n + 1, h.sumCents + cents) :: t
+        case other =>
+          SessState(us, us, 1L, cents) :: other
       }
     }
+    val merged = (state.getOption.map(_.open).getOrElse(Seq.empty) ++ batch.reverse)
+      .sortBy(_.startUs)
+      .foldLeft(List.empty[SessState]) { (acc, s2) =>
+        acc match {
+          case h :: t if s2.startUs - h.lastUs <= gapUs =>
+            SessState(h.startUs, math.max(h.lastUs, s2.lastUs),
+              h.n + s2.n, h.sumCents + s2.sumCents) :: t
+          case _ => s2 :: acc
+        }
+      }.reverse
+    val wmMs = state.getCurrentWatermarkMs()
+    val (fin, open) = merged.partition(st =>
+      st.lastUs / 1000L + gapUs / 1000L < wmMs)
+    if (open.nonEmpty) {
+      state.update(SessBuf(open))
+      // fire when the oldest undecided session becomes final (clamped
+      // above the watermark — Spark rejects timeouts at/behind it)
+      state.setTimeoutTimestamp(math.max(
+        open.map(_.lastUs).min / 1000L + gapUs / 1000L, wmMs + 1L))
+    } else {
+      state.remove()
+    }
+    fin.map(emit).iterator
   }
 
   /** Streaming-read the events fixture, converting the TIMESTAMP(NANOS)
@@ -167,6 +168,52 @@ object StreamingQueries {
         java.nio.file.attribute.FileTime.fromMillis(mtime))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    }
+  }
+
+  /** Stage `splits` as one plain parquet file each (mtime order = trigger
+    * order under maxFilesPerTrigger=1), stream them as micro-batches, run
+    * `perBatch` on each inside foreachBatch, and return the union of the
+    * per-batch results as a local DataFrame — the shared drive for the
+    * serve-from-index streaming ops (ss09, dd14). foreachBatch is the
+    * production shape for such jobs: each batch plans as a full batch
+    * query, so per-batch partition pruning works (a stream-static join
+    * could not prune — it would rescan the whole index every trigger). */
+  private[operators] def drainForeachBatch(s: SparkSession,
+      splits: Seq[DataFrame])(perBatch: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.Files
+    val qdir = Files.createTempDirectory("graft-fb-src")
+    val ckpt = Files.createTempDirectory("graft-fb-ckpt")
+    try {
+      val schema = splits.head.schema
+      val t0 = System.currentTimeMillis()
+      splits.zipWithIndex.foreach { case (df, i) =>
+        stageAsFile(df, qdir.resolve(f"b$i%03d.parquet"), t0 + 60000L * i)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(qdir.toString)
+      val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val out = perBatch(batch)
+          outSchema = out.schema
+          buf.synchronized { buf ++= out.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // all-empty source: no batch ran — derive the schema by planning
+      // the callback on an empty frame instead of NPE-ing
+      if (outSchema == null)
+        outSchema = perBatch(s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)).schema
+      s.createDataFrame(java.util.Arrays.asList(buf.toArray: _*), outSchema)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(qdir.toFile)
     }
   }
 
@@ -374,13 +421,13 @@ object StreamingQueries {
     // stateful-processing API, oracle-gated (VERDICT r4 item 5; st02's
     // session_window is the built-in twin, this is the hand-rolled state
     // machine a pipeline writes when sessions need custom semantics —
-    // here session_end = last event, not last + gap). Closed sessions
-    // emit inline; open tails sit in state under an event-time timeout
-    // and flush when the sentinel harness advances the watermark past
-    // them — st06's close-out discipline, now for arbitrary state.
-    // Deterministic: per-batch events are sorted by event time inside
-    // the function and values accumulate as exact cents, so the drained
-    // table equals DuckDB's batch gaps-and-islands formulation exactly.
+    // here session_end = last event, not last + gap). Sessions are
+    // emitted only when the WATERMARK proves them final (see
+    // sessionize); undecided ones wait in state under event-time
+    // timeouts and flush as the sentinel harness advances the watermark
+    // — st06's close-out discipline, now for arbitrary state. The
+    // drained table equals DuckDB's batch gaps-and-islands formulation
+    // exactly, for any watermark-admitted arrival order.
     "st08_stream_fmgws_sessions" -> ((s, d) => {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       import s.implicits._

@@ -244,47 +244,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
-  test("st08 sessionize merges watermark-admitted older events across micro-batches") {
-    // regression for the cross-batch rewind bug: an older-but-in-gap
-    // event arriving in a LATER micro-batch must extend the open session
-    // backwards (min start), never rewind its end — a signed-gap fold
-    // set lastUs to the older event and mis-split the next event off.
+  test("st08 sessionize is watermark-final and merges out-of-order cross-batch events") {
+    // two regressions in one: (a) an older-but-in-gap event arriving in
+    // a LATER micro-batch must extend the session backwards (min start)
+    // or BRIDGE two undecided sessions — never rewind an end; (b) a
+    // session may be emitted only once the watermark proves no
+    // admissible event can still touch it (watermark > end + gap) — an
+    // inline emission would finalize sessions a late event could merge.
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
-    import graft.operators.StreamingQueries.{sessionize, SessEvent, SessState}
+    import graft.operators.StreamingQueries.{sessionize, SessBuf, SessEvent, SessState}
     val gapUs = 30L * 60 * 1000000
     val f = sessionize(gapUs) _
     def ev(min: Long) = SessEvent(7L, ts(min.toInt), 1.0)
     def us(min: Long) = ts(min.toInt).getTime * 1000L
-    def st(prev: Option[SessState], timedOut: Boolean = false) =
-      TestGroupState.create[SessState](
-        prev.map(Optional.of[SessState]).getOrElse(Optional.empty[SessState]()),
-        GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(Long.box(0L)), timedOut)
-    // batch 1: open session [600, 620]
+    def st(prev: Option[SessBuf], wmMin: Long = 0L, timedOut: Boolean = false) =
+      TestGroupState.create[SessBuf](
+        prev.map(Optional.of[SessBuf]).getOrElse(Optional.empty[SessBuf]()),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        Optional.of(Long.box(if (wmMin == 0) 0L else ts(wmMin.toInt).getTime)),
+        timedOut)
+    // batch 1 (wm 0): one undecided session [600, 620] — nothing emits
     val s1 = st(None)
     assert(f(7L, Iterator(ev(600), ev(620)), s1).isEmpty)
-    assert(s1.get == SessState(us(600), us(620), 2L, 200L))
-    // batch 2: event at 595 — older than the open start, within gap
+    assert(s1.get == SessBuf(Seq(SessState(us(600), us(620), 2L, 200L))))
+    // batch 2: an OLDER in-gap event extends it backwards
     val s2 = st(Some(s1.get))
     assert(f(7L, Iterator(ev(595)), s2).isEmpty)
-    assert(s2.get == SessState(us(595), us(620), 3L, 300L),
-      s"older event must extend the session backwards: ${s2.get}")
-    // batch 3: event at 645 — within gap of the TRUE end 620 (the buggy
-    // fold had rewound the end to 595 and would split here)
+    assert(s2.get == SessBuf(Seq(SessState(us(595), us(620), 3L, 300L))))
+    // batch 3: 645 is within gap of the TRUE end 620 — still one session
     val s3 = st(Some(s2.get))
     assert(f(7L, Iterator(ev(645)), s3).isEmpty)
-    assert(s3.get == SessState(us(595), us(645), 4L, 400L))
-    // batch 4: far event closes [595, 645] and opens [800]
+    assert(s3.get == SessBuf(Seq(SessState(us(595), us(645), 4L, 400L))))
+    // batch 4 (wm still 0): a far event opens a SECOND undecided session
+    // — the first must NOT emit yet (a late event could still extend it)
     val s4 = st(Some(s3.get))
-    val closed = f(7L, Iterator(ev(800)), s4).toList
-    assert(closed.map(o => (o.session_start.getTime, o.session_end.getTime,
+    assert(f(7L, Iterator(ev(800)), s4).isEmpty,
+      "no emission before the watermark finalizes a session")
+    assert(s4.get == SessBuf(Seq(
+      SessState(us(595), us(645), 4L, 400L), SessState(us(800), us(800), 1L, 100L))))
+    // BRIDGE: a late event between two undecided sessions merges them
+    val sb = st(Some(SessBuf(Seq(
+      SessState(us(600), us(605), 2L, 200L), SessState(us(640), us(640), 1L, 100L)))))
+    assert(f(7L, Iterator(ev(622)), sb).isEmpty)
+    assert(sb.get == SessBuf(Seq(SessState(us(600), us(640), 4L, 400L))),
+      s"late event must bridge the two sessions: ${sb.get}")
+    // watermark at 700 finalizes [595,645] (645+30 < 700), keeps [800]
+    val s5 = st(Some(s4.get), wmMin = 700, timedOut = true)
+    val fin1 = f(7L, Iterator.empty, s5).toList
+    assert(fin1.map(o => (o.session_start.getTime, o.session_end.getTime,
       o.n_events, o.session_value)) ==
       List((ts(595).getTime, ts(645).getTime, 4L, 4.0)))
-    assert(s4.get == SessState(us(800), us(800), 1L, 100L))
-    // timeout: the open tail flushes and state clears
-    val s5 = st(Some(s4.get), timedOut = true)
-    val flushed = f(7L, Iterator.empty, s5).toList
-    assert(flushed.map(o => (o.n_events, o.session_value)) == List((1L, 1.0)))
-    assert(s5.isRemoved, "timeout emission must clear the state")
+    assert(s5.get == SessBuf(Seq(SessState(us(800), us(800), 1L, 100L))))
+    // watermark at 900 finalizes the rest and clears the state
+    val s6 = st(Some(s5.get), wmMin = 900, timedOut = true)
+    val fin2 = f(7L, Iterator.empty, s6).toList
+    assert(fin2.map(o => (o.n_events, o.session_value)) == List((1L, 1.0)))
+    assert(s6.isRemoved, "final emission must clear the state")
   }
 }
