@@ -155,31 +155,39 @@ object Dedup {
   private[graft] val PlantOffset = 1000000L
   private[graft] val PlantAmplitude = 80.0
 
-  /** dd14's per-batch gate: band-probe the materialized corpus index
-    * (partition-pruned to the batch's packed band/bucket keys), verify
-    * with exact Jaccard, and emit one ingest decision per arriving doc.
-    * Factored from the foreachBatch body so the pruning claim is
-    * plan-spec testable. */
+  /** dd14's per-batch gate: band-probe everything SEEN so far — the
+    * materialized index (corpus + earlier batches' appended rows,
+    * partition-pruned to the batch's packed band/bucket keys) plus the
+    * batch's own earlier-id rows — verify with exact Jaccard, and emit
+    * one ingest decision per arriving doc. FIRST OCCURRENCE WINS: a doc
+    * is a dup iff it matches the corpus or ANY earlier-id arrival
+    * (`c_id >= IngestSplitId || c_id < a_id` — corpus ids sit above the
+    * split, so the predicate reads "corpus, or an arrival seen before
+    * me"), which keeps decisions deterministic and run-idempotent even
+    * though the index accretes appended rows across runs. Factored from
+    * the foreachBatch body so the pruning claim is plan-spec testable. */
   private[graft] def ingestGate(s: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
     // eager localCheckpoint: the 160-permutation signatures are the
-    // dominant per-batch compute and feed BOTH the probe-key collect and
-    // the index join — without it the whole pipeline runs twice per
-    // batch (blocks are reclaimed by the ContextCleaner on GC)
-    val probes = batch
-      .select(col("doc_id").as("a_id"), tokenSetHashes(tokens(col("text"))).as("a_th"))
-      .withColumn("sig", minhashFromHashes(col("a_th"), MhPerms))
-      .select(col("a_id"), col("a_th"),
-        explode(minhashBands(col("sig"), MhBands, MhRows)).as("bk"))
-      .select(col("a_id"), col("a_th"),
-        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // dominant per-batch compute and feed the probe-key collect, the
+    // index join, AND the intra-batch side — without it the pipeline
+    // runs three times per batch (blocks reclaimed by the ContextCleaner)
+    val probes = bandRows(batch)
+      .select(col("c_id").as("a_id"), col("th").as("a_th"),
+        col("band"), col("bucket"))
       .localCheckpoint()
     val pbKeys = probes
       .select((col("band") * PbMod + pmod(col("bucket"), lit(PbMod))).cast("int").as("pb"))
       .distinct().collect().map(_.getInt(0)).sorted
     val index = s.read.parquet(indexDir)
       .filter(col("pb").isin(pbKeys.toIndexedSeq.map(Int.box): _*))
-    val matches = probes.join(index, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("c_id"), col("th"))
+    // the batch's own rows ARE the freshest slice of "seen": an arrival
+    // must also dedup against earlier ids of its own micro-batch
+    val seen = index.unionAll(probes.select(col("band"), col("bucket"),
+      col("a_id").as("c_id"), col("a_th").as("th")))
+    val matches = probes.join(seen, Seq("band", "bucket"))
+      .filter(col("c_id") >= lit(IngestSplitId) || col("c_id") < col("a_id"))
       .select(col("a_id"), col("c_id"),
         jaccardLong(col("a_th"), col("th")).as("jac"))
       .filter(col("jac") >= 0.9)
@@ -192,16 +200,21 @@ object Dedup {
         round(coalesce(max(col("jac")), lit(0.0)), 6).as("best_jac"))
   }
 
+  /** (doc_id, text) → the MinHash band rows the dd14 index stores:
+    * (c_id, th, band, bucket, pb). One definition for the corpus build,
+    * the per-batch append, and (renamed) the probe side. */
+  private def bandRows(src: DataFrame): DataFrame =
+    src.select(col("doc_id").as("c_id"), tokenSetHashes(tokens(col("text"))).as("th"))
+      .withColumn("sig", minhashFromHashes(col("th"), MhPerms))
+      .select(col("c_id"), col("th"),
+        explode(minhashBands(col("sig"), MhBands, MhRows)).as("bk"))
+      .select(col("c_id"), col("th"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .withColumn("pb", (col("band") * PbMod + pmod(col("bucket"), lit(PbMod))).cast("int"))
+
   private[graft] def minhashIndexDir(s: SparkSession, d: String): String =
     Materialized.dir(minhashIndexCache, "graft-dd14-index", d) { dir =>
-      docs(s, d).filter(col("doc_id") >= IngestSplitId)
-        .select(col("doc_id").as("c_id"), tokenSetHashes(tokens(col("text"))).as("th"))
-        .withColumn("sig", minhashFromHashes(col("th"), MhPerms))
-        .select(col("c_id"), col("th"),
-          explode(minhashBands(col("sig"), MhBands, MhRows)).as("bk"))
-        .select(col("c_id"), col("th"),
-          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-        .withColumn("pb", (col("band") * PbMod + pmod(col("bucket"), lit(PbMod))).cast("int"))
+      bandRows(docs(s, d).filter(col("doc_id") >= IngestSplitId))
         .write.partitionBy("pb").mode("overwrite").parquet(dir)
     }
 
@@ -464,7 +477,16 @@ object Dedup {
         .select(col("doc_id"), col("text"))
       StreamingQueries.drainForeachBatch(s, Seq(
         arriving.filter(col("doc_id") < 25),
-        arriving.filter(col("doc_id") >= 25)))(ingestGate(s, dir, _))
+        arriving.filter(col("doc_id") >= 25))) { batch =>
+        // gate first (ingestGate's read.parquet froze this scan's file
+        // list), then APPEND the batch's band rows so later batches
+        // dedup against everything seen — the index accretes the stream
+        // and the gate's first-occurrence-wins predicate keeps repeated
+        // runs idempotent
+        val decided = ingestGate(s, dir, batch)
+        bandRows(batch).write.mode("append").partitionBy("pb").parquet(dir)
+        decided
+      }
     }),
 
     // Duplicate-cluster CONNECTED COMPONENTS: collapse the verified
@@ -744,23 +766,24 @@ object Dedup {
       SELECT dc.doc_id, dc.rep_id, dc.comp_id, sz.n_members
       FROM dc JOIN sz USING (comp_id)""",
 
-    // exact stream-vs-corpus ground truth: every arriving doc LEFT-joined
-    // to its jac>=0.9 corpus matches (valid as an exact oracle because
-    // the 160/20x8 blocking measures recall 1 on the fixtures — dd04's
-    // justification; signatures depend only on the token set)
+    // exact ground truth for first-occurrence-wins ingest: every
+    // arriving doc LEFT-joined to its jac>=0.9 matches among everything
+    // seen before it — the corpus plus earlier-id arrivals (valid as an
+    // exact oracle because the 160/20x8 blocking measures recall 1 on
+    // the fixtures — dd04's justification; signatures depend only on
+    // the token set)
     "dd14_stream_neardup_ingest" -> s"""
-      WITH arr AS (
+      WITH w AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-        FROM documents WHERE doc_id < $IngestSplitId),
-      cor AS (
-        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-        FROM documents WHERE doc_id >= $IngestSplitId),
+        FROM documents),
+      arr AS (SELECT doc_id, ws FROM w WHERE doc_id < $IngestSplitId),
       m AS (
         SELECT a.doc_id AS a_id, c.doc_id AS c_id,
                CAST(LEN(list_intersect(a.ws, c.ws)) AS DOUBLE)
                  / (LEN(a.ws) + LEN(c.ws) - LEN(list_intersect(a.ws, c.ws))) AS jac
-        FROM arr a JOIN cor c
-          ON LEN(a.ws) * 9 <= LEN(c.ws) * 10 AND LEN(c.ws) * 9 <= LEN(a.ws) * 10
+        FROM arr a JOIN w c
+          ON (c.doc_id >= $IngestSplitId OR c.doc_id < a.doc_id)
+          AND LEN(a.ws) * 9 <= LEN(c.ws) * 10 AND LEN(c.ws) * 9 <= LEN(a.ws) * 10
         WHERE CAST(LEN(list_intersect(a.ws, c.ws)) AS DOUBLE)
                 / (LEN(a.ws) + LEN(c.ws) - LEN(list_intersect(a.ws, c.ws))) >= 0.9)
       SELECT arr.doc_id,
