@@ -1,47 +1,67 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.shuffle.cloud.ShuffleMetricsTap
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // per-query shuffle-volume accounting: the reference's only published
+    // perf numbers are shuffle volumes per query (run_benchmarks.sh), and
+    // every shuffle byte here flows through the cloud plugin — the task
+    // metrics the tap folds are fed by the plugin's measured streams
+    val tap = new ShuffleMetricsTap(spark.sparkContext)
     // warmup: JIT + codegen + FS metadata, so per-query numbers measure
     // the queries rather than session startup
     Tables.load(spark, sfDir, "lineitem").groupBy("l_returnflag").count().count()
-    // two timed runs per query, report the min: the rig shares the host
-    // with other load, and min-of-N measures the query rather than the
-    // neighbors (first run also absorbs per-query plan compilation)
-    // two FULL passes (not back-to-back repeats): the rig shares the host
-    // with other load and spikes are temporally correlated, so repeating a
-    // query immediately puts both runs inside the same spike — interleaved
-    // passes decorrelate, and min-per-query measures the query
     // the streaming drains (st*) are correctness surface — AvailableNow
     // checkpointed jobs measuring state-store/checkpoint I/O, not engine
     // throughput (the reference is batch-only); they are gated by Verify
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => SparkEntry.streamingQueries.contains(name) }
-    // min of 3 interleaved passes; a System.gc() before each query keeps a
-    // neighbor's garbage from billing its collection pause to this query
-    // (the r2 "regression cluster" — q11-q14/ts01/mm02 2-6× slower with
-    // unchanged code — did not reproduce under this protocol)
+    // Three FULL interleaved passes (not back-to-back repeats): the rig
+    // shares the host with other load and spikes are temporally
+    // correlated, so repeating a query immediately puts both runs inside
+    // the same spike — interleaving decorrelates. A System.gc() before
+    // each query keeps a neighbor's garbage from billing its collection
+    // pause to this query (the r2 "regression cluster" — q11-q14/ts01/mm02
+    // 2-6× slower with unchanged code — did not reproduce under this
+    // protocol). r5 lesson: a single number per query cannot distinguish a
+    // real 10% regression from host noise (r4→r5 drifted ~11% across
+    // unrelated queries), so each query now reports median-of-3 (the
+    // headline), min (the noise floor), and spread (max-min, the noise
+    // band): a regression is real only when medians move by more than the
+    // spread. Shuffle bytes are plan-determined, not host-dependent —
+    // passes must agree, so the per-pass max is recorded and a mismatch
+    // across passes would show up as spread in the bytes themselves.
+    case class Obs(sec: Double, shufW: Long, shufR: Long)
     val passes = (1 to 3).map { _ =>
       ordered.map { case (name, fn) =>
         System.gc()
+        tap.harvest() // reset: don't bill warmup/neighbor bytes to this query
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          name -> (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (w, r) = tap.harvest()
+          name -> Obs(sec, w, r)
         } catch {
           case t: Throwable =>
             // a broken query must read as broken, not fast: sentinel -1
             System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-            name -> -1.0
+            name -> Obs(-1.0, -1L, -1L)
         }
       }.toMap
     }
+    case class Stat(med: Double, min: Double, spread: Double, shufW: Long, shufR: Long)
     val results = ordered.map { case (name, _) =>
-      val times = passes.map(_(name))
-      // any failed run poisons the query's number
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val obs = passes.map(_(name))
+      val times = obs.map(_.sec)
+      name -> (if (times.exists(_ < 0)) Stat(-1.0, -1.0, 0.0, -1L, -1L)
+               else {
+                 val sorted = times.sorted
+                 Stat(sorted(sorted.size / 2), sorted.head, sorted.last - sorted.head,
+                   obs.map(_.shufW).max, obs.map(_.shufR).max)
+               })
     }.toMap
     // ms precision keeps the line compact enough for the driver's tail
     // capture (r1/r2 full-precision doubles overflowed it: "parsed": null)
@@ -55,20 +75,35 @@ object Bench {
     def short(name: String): String = name.takeWhile(_ != '_')
     require(results.keys.map(short).toSet.size == results.size,
       "shortened bench keys must stay unique")
+    // stdout keeps the proven compact contract (queries → median seconds);
+    // the per-query detail objects ride only in the file copy, which
+    // cannot truncate
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + short(k) + "\":" + ms(v) }
+      .map { case (k, v) => "\"" + short(k) + "\":" + ms(v.med) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_.med).sum else 0.0
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for tail truncation: same line on stderr too
     System.err.println(line)
-    // and the machine-readable copy: the driver's stdout scrape has
-    // recorded "parsed": null for four rounds — a file can't truncate
+    val detail = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + short(k) + "\":{\"med_s\":" + ms(v.med) + ",\"min_s\":" + ms(v.min) +
+        ",\"spread_s\":" + ms(v.spread) +
+        ",\"shuffle_write_bytes\":" + v.shufW + ",\"shuffle_read_bytes\":" + v.shufR + "}"
+    }.mkString("{", ",", "}")
+    val totW = results.values.map(_.shufW).filter(_ >= 0).sum
+    val totR = results.values.map(_.shufR).filter(_ >= 0).sum
+    // the machine-readable copy: the driver's stdout scrape has recorded
+    // "parsed": null for four rounds — a file can't truncate. Standard keys
+    // first (identical semantics to the stdout line), then the additions:
+    // methodology marker + per-query detail + shuffle totals.
+    val rich = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""method":"median-of-3-interleaved","shuffle_write_bytes":$totW,"shuffle_read_bytes":$totR,""" +
+      s""""detail":$detail}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (rich + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -218,6 +218,74 @@ object Dedup {
         .write.partitionBy("pb").mode("overwrite").parquet(dir)
     }
 
+  /** Append `batch`'s band rows to the dd14 index EXACTLY ONCE per
+    * micro-batch identity: foreachBatch is at-least-once (a replayed
+    * batch re-invokes the body with the same id), and repeated dd14 runs
+    * in one JVM re-stream the same arrivals against the same memoized
+    * index dir — without the marker both would re-append the rows,
+    * growing the artifact and its small-file count linearly per run
+    * (ADVICE r5). The underscore-prefixed marker is invisible to the
+    * parquet reader's file index. Marker-after-append ordering means a
+    * crash between the two can still leave one duplicate append (the
+    * standard non-transactional commit window); decisions stay correct
+    * either way because the gate's first-occurrence predicate tolerates
+    * duplicate index rows — the marker bounds growth, the predicate
+    * guards correctness. */
+  private def appendArrivalsOnce(s: SparkSession, dir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val marker = java.nio.file.Paths.get(dir, s"_arrivals_$batchId")
+    if (!java.nio.file.Files.exists(marker)) {
+      bandRows(batch).write.mode("append").partitionBy("pb").parquet(dir)
+      java.nio.file.Files.createFile(marker)
+    }
+  }
+
+  /** Index COMPACTION — the lifecycle pass a long-running ingest stream
+    * needs (VERDICT r5 item 3): every appended micro-batch adds one small
+    * parquet file per touched `pb=` partition, so an unbounded stream
+    * grows the file listing (and the probe-side scan's open-file count)
+    * linearly with batch count. Rewrites any partition whose data-file
+    * count exceeds `maxFiles` down to a single file; read-equivalence is
+    * exact (same rows, same schema — spec-proven in NorthStarSpec). The
+    * swap (delete-then-move) is safe here because compaction runs inside
+    * the ingest loop between batches — the only reader of the index is
+    * the gate of a later batch. On an object store the same rewrite
+    * commits via the store's rename/manifest protocol; the partition
+    * granularity is what makes it cheap: one partition's worth of I/O per
+    * rewrite, never a full-index pass. Returns the number of partitions
+    * rewritten. */
+  private[graft] def compactIndex(s: SparkSession, dir: String,
+      maxFiles: Int = 8): Int = {
+    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("pb="))
+    var rewritten = 0
+    for (p <- parts) {
+      val dataFiles = p.listFiles().filter(f =>
+        f.isFile && f.getName.startsWith("part-"))
+      if (dataFiles.length > maxFiles) {
+        val staged = java.nio.file.Files.createTempDirectory("graft-compact")
+        try {
+          // the partition dir read yields the schema sans the pb column —
+          // exactly what partitionBy wrote, so the swapped files are
+          // layout-identical to the originals
+          s.read.parquet(p.toString).coalesce(1)
+            .write.mode("overwrite").parquet(staged.toString)
+          val fresh = staged.toFile.listFiles().filter(_.getName.startsWith("part-"))
+          dataFiles.foreach { f =>
+            f.delete()
+            new java.io.File(p, "." + f.getName + ".crc").delete() // local-FS checksum sidecars
+          }
+          fresh.foreach(f => java.nio.file.Files.move(f.toPath,
+            p.toPath.resolve(f.getName)))
+          rewritten += 1
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)
+        }
+      }
+    }
+    rewritten
+  }
+
   // pp03's input: the dd12 cluster table materialized ONCE per fixture
   // (build once, consume many — ss08's index discipline). A production
   // prep pipeline joins the checkpointed dedup artifact; it does not
@@ -475,18 +543,23 @@ object Dedup {
       val dir = minhashIndexDir(s, d)
       val arriving = docs(s, d).filter(col("doc_id") < IngestSplitId)
         .select(col("doc_id"), col("text"))
-      StreamingQueries.drainForeachBatch(s, Seq(
+      val out = StreamingQueries.drainForeachBatchWithId(s, Seq(
         arriving.filter(col("doc_id") < 25),
-        arriving.filter(col("doc_id") >= 25))) { batch =>
+        arriving.filter(col("doc_id") >= 25))) { (batch, batchId) =>
         // gate first (ingestGate's read.parquet froze this scan's file
         // list), then APPEND the batch's band rows so later batches
-        // dedup against everything seen — the index accretes the stream
-        // and the gate's first-occurrence-wins predicate keeps repeated
-        // runs idempotent
+        // dedup against everything seen — the index accretes the stream;
+        // the batchId marker makes the append exactly-once per batch
+        // identity (replays and repeated runs skip it)
         val decided = ingestGate(s, dir, batch)
-        bandRows(batch).write.mode("append").partitionBy("pb").parquet(dir)
+        appendArrivalsOnce(s, dir, batch, batchId)
         decided
       }
+      // lifecycle: fold accreted per-batch files back down once a
+      // partition's listing crosses the threshold — the ingest loop owns
+      // the index, so between-batch compaction races no reader
+      compactIndex(s, dir)
+      out
     }),
 
     // Duplicate-cluster CONNECTED COMPONENTS: collapse the verified

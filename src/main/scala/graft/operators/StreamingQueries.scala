@@ -86,14 +86,20 @@ object StreamingQueries {
         }
       }.reverse
     val wmMs = state.getCurrentWatermarkMs()
+    // finality compared in MICROseconds: the ts column is micro-precision,
+    // and flooring last+gap to ms would declare a session final up to ~1ms
+    // before the watermark strictly clears it — an admissible sub-ms
+    // arrival in that window would then wrongly open a new session
     val (fin, open) = merged.partition(st =>
-      st.lastUs / 1000L + gapUs / 1000L < wmMs)
+      st.lastUs + gapUs < wmMs * 1000L)
     if (open.nonEmpty) {
       state.update(SessBuf(open))
-      // fire when the oldest undecided session becomes final (clamped
-      // above the watermark — Spark rejects timeouts at/behind it)
+      // fire when the oldest undecided session becomes final: ceiling to
+      // ms so the timeout can never fire before micro-precision finality
+      // holds (clamped above the watermark — Spark rejects timeouts
+      // at/behind it)
       state.setTimeoutTimestamp(math.max(
-        open.map(_.lastUs).min / 1000L + gapUs / 1000L, wmMs + 1L))
+        (open.map(_.lastUs).min + gapUs + 999L) / 1000L, wmMs + 1L))
     } else {
       state.remove()
     }
@@ -180,7 +186,15 @@ object StreamingQueries {
     * query, so per-batch partition pruning works (a stream-static join
     * could not prune — it would rescan the whole index every trigger). */
   private[operators] def drainForeachBatch(s: SparkSession,
-      splits: Seq[DataFrame])(perBatch: DataFrame => DataFrame): DataFrame = {
+      splits: Seq[DataFrame])(perBatch: DataFrame => DataFrame): DataFrame =
+    drainForeachBatchWithId(s, splits)((batch, _) => perBatch(batch))
+
+  /** As `drainForeachBatch`, but hands the callback the micro-batch id —
+    * the handle a side-effecting batch body (dd14's index append) needs to
+    * make its own writes replay-idempotent. */
+  private[operators] def drainForeachBatchWithId(s: SparkSession,
+      splits: Seq[DataFrame])(perBatch: (DataFrame, Long) => DataFrame): DataFrame = {
+    require(splits.nonEmpty, "drainForeachBatch needs at least one split")
     import java.nio.file.Files
     val qdir = Files.createTempDirectory("graft-fb-src")
     val ckpt = Files.createTempDirectory("graft-fb-ckpt")
@@ -192,13 +206,19 @@ object StreamingQueries {
       }
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(qdir.toString)
-      val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      // foreachBatch is at-least-once: a retried micro-batch (transient
+      // sink failure, retrying master) re-invokes the callback with the
+      // SAME batchId. Keying the buffer by batchId makes the drain
+      // exactly-once — a replay replaces its batch's rows instead of
+      // double-appending them.
+      val bufs = new scala.collection.mutable.TreeMap[Long, Array[org.apache.spark.sql.Row]]()
       @volatile var outSchema: org.apache.spark.sql.types.StructType = null
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val out = perBatch(batch)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val out = perBatch(batch, batchId)
           outSchema = out.schema
-          buf.synchronized { buf ++= out.collect() }
+          val rows = out.collect()
+          bufs.synchronized { bufs(batchId) = rows }
           ()
         }
         .option("checkpointLocation", ckpt.toString)
@@ -209,8 +229,9 @@ object StreamingQueries {
       // the callback on an empty frame instead of NPE-ing
       if (outSchema == null)
         outSchema = perBatch(s.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)).schema
-      s.createDataFrame(java.util.Arrays.asList(buf.toArray: _*), outSchema)
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), -1L).schema
+      val rows = bufs.values.flatten.toArray
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
       org.apache.commons.io.FileUtils.deleteQuietly(qdir.toFile)

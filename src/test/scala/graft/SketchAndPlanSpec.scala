@@ -249,6 +249,54 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dd14 index lifecycle: append is once-per-batch, compaction preserves reads") {
+    // VERDICT r5 item 3 + ADVICE: without the batch marker every dd14 run
+    // in one JVM re-appends the same arrival band rows (mode append on the
+    // memoized dir), growing the artifact linearly per run; and a
+    // long-running ingest accretes one small file per (batch × partition)
+    // with no fold-down. Two properties, both load-bearing at 100 TB:
+    // (1) run-idempotence: a second full dd14 run leaves the index
+    //     byte-identical in row count and file count;
+    // (2) compaction read-equivalence: rewriting over-fragmented
+    //     partitions changes the listing, never the rows.
+    val dir = graft.operators.Dedup.minhashIndexDir(spark, sf)
+    def dataFiles: Seq[java.io.File] =
+      org.apache.commons.io.FileUtils.listFiles(new java.io.File(dir),
+        Array("parquet"), true).toArray(Array.empty[java.io.File]).toSeq
+        .filter(_.getName.startsWith("part-"))
+    SparkEntry.queries("dd14_stream_neardup_ingest")(spark, sf).count()
+    val rows1 = spark.read.parquet(dir).count()
+    val files1 = dataFiles.size
+    SparkEntry.queries("dd14_stream_neardup_ingest")(spark, sf).count()
+    assert(spark.read.parquet(dir).count() == rows1,
+      "second dd14 run re-appended arrival rows — batch marker not honored")
+    assert(dataFiles.size == files1,
+      "second dd14 run grew the index file listing")
+    // force compaction at threshold 1: every multi-file partition rewrites.
+    // Pin the pre-compaction content driver-side FIRST — a lazy DataFrame
+    // over the dir would re-scan files the swap deletes.
+    val beforeDf = spark.read.parquet(dir)
+    val beforeRows = beforeDf.collect()
+    val n = graft.operators.Dedup.compactIndex(spark, dir, maxFiles = 1)
+    assert(n > 0, "expected at least one over-threshold partition to rewrite")
+    val after = spark.read.parquet(dir)
+    val pinned = spark.createDataFrame(
+      java.util.Arrays.asList(beforeRows: _*), beforeDf.schema)
+    assert(after.count() == rows1, "compaction changed the row count")
+    assert(after.exceptAll(pinned).isEmpty && pinned.exceptAll(after).isEmpty,
+      "compaction changed the row multiset")
+    assert(dataFiles.size < files1,
+      s"compaction did not shrink the listing (${dataFiles.size} vs $files1)")
+    dataFiles.groupBy(_.getParentFile.getName).foreach { case (part, fs) =>
+      assert(fs.size <= 1, s"$part still holds ${fs.size} files after compaction")
+    }
+    // the gate still prunes and still answers identically on the compacted
+    // index (the serve path is the artifact's whole purpose)
+    val batch = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 3).select(col("doc_id"), col("text"))
+    assert(graft.operators.Dedup.ingestGate(spark, dir, batch).count() == 3)
+  }
+
   test("pp03 consumes the materialized cluster artifact, not the propagation loop") {
     // the production shape: the prep pipeline joins the checkpointed
     // dd12 table (a parquet scan of the build-once artifact); if the
