@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// local-cluster tests spawn executor JVMs through the in-JVM launcher,
+// which resolves the Scala suffix from this env var when the shell
+// scripts (which normally export it) are bypassed.
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
