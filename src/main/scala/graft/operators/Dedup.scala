@@ -41,8 +41,14 @@ object Dedup {
     * persisted exact-dup group table and the verified rep-level pair set
     * (dd07 expands them to doc pairs; dd09 runs connected components on
     * the rep graph — identical components, ~100× fewer nodes). */
-  private[graft] def prefixRepPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val w = docs(s, d).select(col("doc_id"), tokenSetHashes(tokens(col("text"))).as("th"))
+  private[graft] def prefixRepPairs(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    prefixRepPairsOf(docs(s, d))
+
+  /** [[prefixRepPairs]] on an arbitrary (doc_id, text) corpus — factored
+    * so the skew stress spec can push a planted duplicate bomb through
+    * the SHIPPED pipeline rather than a reimplementation. */
+  private[graft] def prefixRepPairsOf(docsDf: DataFrame): (DataFrame, DataFrame) = {
+    val w = docsDf.select(col("doc_id"), tokenSetHashes(tokens(col("text"))).as("th"))
     val groups = w.groupBy(col("th"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -594,16 +600,7 @@ object Dedup {
     // Shape on top of dd09's label propagation: membership join + one
     // hash agg + one AQE-broadcastable size join. Exact DuckDB oracle
     // (recursive-CTE reachability + counts).
-    "dd12_dedup_clusters" -> ((s, d) => {
-      val (groups, labels) = repComponents(s, d)
-      val m = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
-        .join(labels, "rep_id")
-      // cluster size via a window count: the membership table shuffles on
-      // comp_id exactly ONCE (an agg+join formulation would shuffle it
-      // twice on the same key)
-      m.select(col("doc_id"), col("rep_id"), col("comp_id"),
-        count(lit(1)).over(Window.partitionBy(col("comp_id"))).as("n_members"))
-    }),
+    "dd12_dedup_clusters" -> ((s, d) => clusterTableOf(docs(s, d))),
 
     // Embedding near-dup: cosine similarity above threshold on a bounded
     // subset (ground truth for the ANN path in Similarity).
@@ -656,6 +653,31 @@ object Dedup {
       // graphs), fall back to counted rounds until it holds.
       val (groups, repPairs) = prefixRepPairs(s, d)
       (groups, propagateLabels(groups.select(col("rep_id")), repPairs))
+  }
+
+  /** dd12's terminal cluster table on an arbitrary (doc_id, text) corpus
+    * (the query comment above explains the shape): membership join + one
+    * comp_id-partitioned window count — O(n) output rows at ANY skew,
+    * where dd07's pair expansion pays k²/2 per k-copy duplicate group.
+    * Factored for the skew stress spec, which measures exactly that gap
+    * on a planted duplicate bomb. */
+  private[graft] def clusterTableOf(docsDf: DataFrame): DataFrame = {
+    val (groups, repPairs) = prefixRepPairsOf(docsDf)
+    val labels = propagateLabels(groups.select(col("rep_id")), repPairs)
+    val m = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
+      .join(labels, "rep_id")
+    // cluster size via a window count: the membership table shuffles on
+    // comp_id exactly ONCE (an agg+join formulation would shuffle it
+    // twice on the same key)
+    m.select(col("doc_id"), col("rep_id"), col("comp_id"),
+      count(lit(1)).over(Window.partitionBy(col("comp_id"))).as("n_members"))
+  }
+
+  /** dd07's doc-level pair expansion on an arbitrary corpus — the
+    * quadratic-per-group baseline the skew stress compares against. */
+  private[graft] def docPairsOf(docsDf: DataFrame): DataFrame = {
+    val (groups, repPairs) = prefixRepPairsOf(docsDf)
+    expandRepPairs(groups, repPairs)
   }
 
   /** The label-propagation loop itself, on an arbitrary rep graph —

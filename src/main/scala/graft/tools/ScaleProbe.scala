@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry, Tables}
+import org.apache.spark.shuffle.cloud.ShuffleMetricsTap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One data point beyond sf0.1 on the scaling curve (VERDICT r5 item 8):
+  * derive an sf1-shaped tier by replicating the sf0.1 FACT tables 10×
+  * with shifted keys (dimensions stay fixed — dimension fan-in grows,
+  * which is the conservative direction for join cost), write it as
+  * parquet under /tmp, and run the SHIPPED heavy queries against the
+  * derived dir (`Tables.load` only sees a path, so the query code is
+  * byte-identical to what the bench runs). Documents replicate with
+  * identical text on purpose: a corpus where every page has 10 exact
+  * copies is precisely the regime dd12's exact-collapse exists for.
+  *
+  * Prints one line per query: wall seconds + shuffle bytes (tap over the
+  * plugin-fed task metrics). Run:
+  *   sbt "runMain graft.tools.ScaleProbe"
+  */
+object ScaleProbe {
+
+  private val Src = "/root/testdata/sf0.1"
+  private val Dst = "/tmp/graft-sf1"
+
+  /** 10 copies of `df` with `keys` shifted by copy·stride (joint keys
+    * shift together across tables, so joins stay valid). */
+  private def rep10(df: DataFrame, keys: Seq[String], stride: Long): DataFrame =
+    (0 until 10).map { i =>
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * stride)))
+    }.reduce(_ unionAll _)
+
+  private def build(s: SparkSession): Unit = {
+    val done = new java.io.File(s"$Dst/_built")
+    if (done.exists()) return
+    val stride = 100000000L
+    def w(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$Dst/$name.parquet")
+    // facts ×10; the orderkey shift is shared by lineitem and orders so
+    // the order join keeps its 1:n shape
+    w("lineitem", rep10(Tables.load(s, Src, "lineitem"), Seq("l_orderkey"), stride))
+    w("orders", rep10(Tables.load(s, Src, "orders"), Seq("o_orderkey"), stride))
+    w("events", rep10(Tables.load(s, Src, "events"), Seq("event_id"), stride))
+    w("documents", rep10(Tables.load(s, Src, "documents"), Seq("doc_id"), stride))
+    // dimensions verbatim
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "embeddings"))
+      w(t, Tables.load(s, Src, t))
+    done.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val tap = new ShuffleMetricsTap(spark.sparkContext)
+    build(spark)
+    val queries = Seq("q01_pricing_summary", "q05_regional_revenue",
+      "q38_rollup_rank", "dd12_dedup_clusters")
+    for (dir <- Seq(Src, Dst); name <- queries) {
+      System.gc()
+      tap.harvest()
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (wb, rb) = tap.harvest()
+      println(f"SCALEPROBE $dir $name rows=$rows wall=$sec%.2f s " +
+        f"shuffle_w=${wb / 1e6}%.1f MB shuffle_r=${rb / 1e6}%.1f MB")
+    }
+    spark.stop()
+  }
+}

@@ -53,4 +53,56 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     assert(salted == naive)
   }
+
+  test("duplicate bomb: dd12's cluster table is O(n) where pair expansion is O(k²)") {
+    // VERDICT r5 item 6: the cluster table's skew-safety was argued, not
+    // measured. Plant a 10⁴-copy duplicate group (one boilerplate page
+    // duplicated across the corpus — the real-world worst case) into the
+    // sf0.001 fixture and push it through the SHIPPED pipeline both ways:
+    //  - dd12 shape (clusterTableOf): one row per DOCUMENT regardless of
+    //    group size — output n_docs rows total;
+    //  - dd07 shape (docPairsOf): the k-copy group alone contributes
+    //    k(k-1)/2 pair rows — 5·10⁷ for k=10⁴, quadratic death at skew.
+    // The exact-dup collapse keeps the JOIN itself safe in both (the bomb
+    // is ONE rep node); what differs is the terminal artifact's size —
+    // which is the point of dd12.
+    val ss = spark
+    val sf = "/root/testdata/sf0.001"
+    val k = 10000L
+    val base = Tables.load(ss, sf, "documents").select(col("doc_id"), col("text"))
+    val hotText = base.orderBy(col("doc_id")).limit(1)
+      .select(col("text")).collect()(0).getString(0)
+    val bomb = ss.range(k)
+      .select((col("id") + 1000000L).as("doc_id"), lit(hotText).as("text"))
+    val planted = base.unionAll(bomb)
+    val nDocs = base.count() + k
+
+    val t0 = System.nanoTime()
+    val clusterRows = graft.operators.Dedup.clusterTableOf(planted).count()
+    val clusterSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val pairRows = graft.operators.Dedup.docPairsOf(planted).count()
+    val pairSec = (System.nanoTime() - t1) / 1e9
+    info(f"cluster table: $clusterRows rows in $clusterSec%.1f s; " +
+      f"pair expansion: $pairRows rows in $pairSec%.1f s (${pairRows / clusterRows}× more rows)")
+
+    // O(n): exactly one row per document, bomb included
+    assert(clusterRows == nDocs,
+      s"cluster table must be one row per doc: $clusterRows != $nDocs")
+    // O(k²): the bomb alone contributes k(k-1)/2 pairs (plus the copies'
+    // pairs with the original doc and the fixture's own near-dup pairs)
+    assert(pairRows >= k * (k - 1) / 2,
+      s"pair expansion lost the bomb's quadratic blowup: $pairRows")
+    // the asymmetry the operator exists for: >4 orders of magnitude here
+    assert(pairRows / clusterRows > 1000,
+      s"expected a >1000× row-count gap, got ${pairRows / clusterRows}×")
+    // and the bomb's cluster is labeled correctly: every copy carries the
+    // original doc's id as rep/comp and the right member count
+    val bombRows = graft.operators.Dedup.clusterTableOf(planted)
+      .filter(col("doc_id") >= 1000000L)
+    val heads = bombRows.select(col("rep_id"), col("comp_id"), col("n_members"))
+      .distinct().collect()
+    assert(heads.length == 1, s"bomb split across clusters: ${heads.toSeq}")
+    assert(heads(0).getLong(2) >= k, s"bomb cluster undercounted: ${heads(0)}")
+  }
 }
