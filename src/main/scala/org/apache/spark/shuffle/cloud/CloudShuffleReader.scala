@@ -156,11 +156,26 @@ private[cloud] class CloudShuffleReader[K, C](
       serializerInstance.deserializeStream(wrapped).asKeyValueIterator
     }
 
+    // The reporter Spark hands getReader is a per-dependency
+    // TempShuffleReadMetrics (possibly wrapped by the SQL reporter): its
+    // values reach the TASK's ShuffleReadMetrics accumulators only when
+    // TaskMetrics.mergeShuffleReadMetrics() folds the temps in. Spark's
+    // own reader triggers that merge when its fetch iterator completes;
+    // without it, per-task read metrics survive only if an executor
+    // HEARTBEAT (10 s default) happens to fire mid-task — short reduce
+    // tasks silently report 0 shuffle bytes read (observed: bench read
+    // volumes flapping between full and zero run-to-run). setMergeValues
+    // overwrites from the temp list, so merging here AND at task
+    // completion (for early-terminated limit/take consumers that never
+    // exhaust the iterator) cannot double-count.
+    context.addTaskCompletionListener[Unit] { _ =>
+      context.taskMetrics().mergeShuffleReadMetrics()
+    }
     val metricIter = CompletionIterator[(Any, Any), Iterator[(Any, Any)]](
       recordIter.map { record =>
         readMetrics.incRecordsRead(1)
         record
-      }, {})
+      }, context.taskMetrics().mergeShuffleReadMetrics())
 
     val interruptibleIter = new InterruptibleIterator[(Any, Any)](context, metricIter)
 
