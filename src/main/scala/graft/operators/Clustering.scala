@@ -123,6 +123,11 @@ object Clustering {
     val hotCands = hotProbe.join(hotIndex, Seq("cell", "tbk"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
+      // collapse multi-table/multi-probe collision multiplicity HERE,
+      // ids-only — a cos≈0.99 pair collides in nearly every table, and
+      // carrying dozens of copies through the vector re-joins and the
+      // exact cosine kernel would multiply the verify cost for nothing
+      .distinct()
     smallCands.unionAll(hotCands)
   }
 

@@ -239,6 +239,9 @@ object Dedup {
     * guards correctness. */
   private def appendArrivalsOnce(s: SparkSession, dir: String,
       batch: DataFrame, batchId: Long): Unit = {
+    // batchId < 0 is the drain harness's schema-derivation sentinel
+    // (all-empty source): planning only — never write or mark
+    if (batchId < 0) return
     val marker = java.nio.file.Paths.get(dir, s"_arrivals_$batchId")
     if (!java.nio.file.Files.exists(marker)) {
       bandRows(batch).write.mode("append").partitionBy("pb").parquet(dir)
@@ -252,16 +255,27 @@ object Dedup {
     * grows the file listing (and the probe-side scan's open-file count)
     * linearly with batch count. Rewrites any partition whose data-file
     * count exceeds `maxFiles` down to a single file; read-equivalence is
-    * exact (same rows, same schema — spec-proven in NorthStarSpec). The
-    * swap (delete-then-move) is safe here because compaction runs inside
-    * the ingest loop between batches — the only reader of the index is
-    * the gate of a later batch. On an object store the same rewrite
-    * commits via the store's rename/manifest protocol; the partition
-    * granularity is what makes it cheap: one partition's worth of I/O per
-    * rewrite, never a full-index pass. Returns the number of partitions
-    * rewritten. */
+    * exact (same rows, same schema — spec-proven in SketchAndPlanSpec).
+    * Swap order is MOVE-IN-THEN-DELETE: a crash between the two leaves
+    * the partition with old + fresh files — duplicate rows, which the
+    * gate's first-occurrence predicate and `distinct` already tolerate —
+    * whereas delete-first would lose the partition's rows for good (the
+    * `_arrivals_` markers suppress the re-append that once made reruns
+    * self-healing, so deletion must never precede the replacement).
+    * Compaction runs inside the ingest loop between batches, so the only
+    * reader of the index is the gate of a later batch. On an object store
+    * the same rewrite commits via the store's rename/manifest protocol;
+    * the partition granularity is what makes it cheap: one partition's
+    * worth of I/O per rewrite, never a full-index pass. Returns the
+    * number of partitions rewritten. */
   private[graft] def compactIndex(s: SparkSession, dir: String,
       maxFiles: Int = 8): Int = {
+    // this implementation (and the marker files) speaks java.io on a
+    // LOCAL path — the harness's stand-in for the store. A URI here
+    // would silently list nothing and no-op the lifecycle, so refuse it.
+    require(!dir.contains("://"),
+      s"compactIndex expects a local index path, got '$dir' — port the " +
+        "listing/swap to the Hadoop FileSystem API for object stores")
     val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("pb="))
     var rewritten = 0
@@ -277,12 +291,14 @@ object Dedup {
           s.read.parquet(p.toString).coalesce(1)
             .write.mode("overwrite").parquet(staged.toString)
           val fresh = staged.toFile.listFiles().filter(_.getName.startsWith("part-"))
+          // fresh part- names are write-unique UUIDs: no collision with
+          // the files being replaced
+          fresh.foreach(f => java.nio.file.Files.move(f.toPath,
+            p.toPath.resolve(f.getName)))
           dataFiles.foreach { f =>
             f.delete()
             new java.io.File(p, "." + f.getName + ".crc").delete() // local-FS checksum sidecars
           }
-          fresh.foreach(f => java.nio.file.Files.move(f.toPath,
-            p.toPath.resolve(f.getName)))
           rewritten += 1
         } finally {
           org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile)

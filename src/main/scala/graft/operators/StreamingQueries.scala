@@ -226,7 +226,10 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
       // all-empty source: no batch ran — derive the schema by planning
-      // the callback on an empty frame instead of NPE-ing
+      // the callback on an empty frame instead of NPE-ing. The -1
+      // sentinel id marks this call as schema-derivation: callbacks with
+      // side effects (dd14's index append) must skip them on a negative
+      // batchId.
       if (outSchema == null)
         outSchema = perBatch(s.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), -1L).schema

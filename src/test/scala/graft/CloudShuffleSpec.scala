@@ -479,14 +479,17 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
       while (execs().contains(victim) && System.currentTimeMillis() < deadline)
         Thread.sleep(250)
       assert(!execs().contains(victim), s"executor $victim still alive")
-      // count tasks the re-run launches: if the scheduler thought the dead
-      // executor's map outputs were lost it would resubmit map tasks
-      // (8 + 6); with relocation the reduce stage alone re-runs (6)
-      val launched = new java.util.concurrent.atomic.AtomicInteger()
+      // count STAGES the re-run submits: if the scheduler thought the
+      // dead executor's map outputs were lost it would resubmit the
+      // ShuffleMapStage before the ResultStage; with relocation exactly
+      // one stage (the reduce) runs. Stage count is retry-robust — a
+      // transient task retry on the surviving executor stays inside its
+      // stage, while a task-count assertion would false-fail on it.
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskStart(
-            t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
-          launched.incrementAndGet()
+        override def onStageSubmitted(
+            e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          stages.add(s"${e.stageInfo.name} (${e.stageInfo.numTasks} tasks)")
       }
       sc.addSparkListener(listener)
       try {
@@ -494,9 +497,9 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
           "reduce re-run returned wrong data after executor loss")
         org.apache.spark.GraftSparkTestAccess.drainListenerBus(sc)
       } finally sc.removeSparkListener(listener)
-      assert(launched.get() == 6,
-        s"expected only the 6 reduce tasks after executor loss (map outputs " +
-          s"survive in the store); saw ${launched.get()} — map stage was resubmitted")
+      assert(stages.size() == 1,
+        s"expected only the reduce stage after executor loss (map outputs " +
+          s"survive in the store); submitted: ${stages.toArray.mkString(", ")}")
     }
   }
 
