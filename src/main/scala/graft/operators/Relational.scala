@@ -593,6 +593,41 @@ object Relational {
           cume_dist().over(w).as("cum_dist"))
     }),
 
+    // --- recursive CTE -----------------------------------------------------
+    // Spark 4.x executes WITH RECURSIVE natively (UnionLoop iterations),
+    // so the classic calendar-spine pattern — generate every month from
+    // min to max order date, left-join the monthly aggregate, flag gap
+    // months — runs declaratively instead of as a driver loop. Scale
+    // shape: the recursion produces O(months) rows (driver-light, ~80 at
+    // any corpus size — bounded by the DATE RANGE, not the row count) and
+    // the spine side broadcasts into the join; the orders aggregate is
+    // the usual partial→final collapse. Near-identical SQL text runs on
+    // DuckDB, so the oracle is hash-exact.
+    "q47_recursive_cte" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_q47_orders")
+      s.sql("""
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mn,
+                 CAST(MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mx
+          FROM graft_q47_orders
+        ),
+        spine AS (
+          SELECT mn AS mon FROM bounds
+          UNION ALL
+          SELECT s.mon + 1 FROM spine s JOIN bounds b ON s.mon < b.mx
+        ),
+        monthly AS (
+          SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mon,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM graft_q47_orders
+          GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+        )
+        SELECT s.mon AS mon,
+               CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(CASE WHEN m.mon IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+        FROM spine s LEFT JOIN monthly m ON s.mon = m.mon""")
+    }),
+
     // --- array ops ---------------------------------------------------------
     "q31_embedding_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -638,6 +673,28 @@ object Relational {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+
+    "q47_recursive_cte" -> """
+      WITH RECURSIVE bounds AS (
+        SELECT CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mn,
+               CAST(MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mx
+        FROM orders
+      ),
+      spine AS (
+        SELECT mn AS mon FROM bounds
+        UNION ALL
+        SELECT s.mon + 1 FROM spine s JOIN bounds b ON s.mon < b.mx
+      ),
+      monthly AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mon,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+      )
+      SELECT s.mon AS mon,
+             CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+             CAST(CASE WHEN m.mon IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+      FROM spine s LEFT JOIN monthly m ON s.mon = m.mon""",
 
     // ts01 is self-validating: the Spark side computes the TeraValidate
     // verdict distributed (per-partition order + boundary checks + count),
