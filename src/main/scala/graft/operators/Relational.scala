@@ -597,24 +597,27 @@ object Relational {
     // Spark 4.x executes WITH RECURSIVE natively (UnionLoop iterations),
     // so the classic calendar-spine pattern — generate every month from
     // min to max order date, left-join the monthly aggregate, flag gap
-    // months — runs declaratively instead of as a driver loop. Scale
-    // shape: the recursion produces O(months) rows (driver-light, ~80 at
-    // any corpus size — bounded by the DATE RANGE, not the row count) and
-    // the spine side broadcasts into the join; the orders aggregate is
-    // the usual partial→final collapse. Near-identical SQL text runs on
-    // DuckDB, so the oracle is hash-exact.
+    // months — runs declaratively instead of as a driver loop. The upper
+    // bound rides IN the recursive rows (anchor carries mx): Spark
+    // INLINES non-recursive CTEs into the step, so a `JOIN bounds` there
+    // would re-aggregate the whole orders table once per iteration —
+    // measured 29 s at sf0.1 vs ~2 s with the bound carried (~80
+    // iterations × a full scan, the recursive-CTE analogue of a loop
+    // invariant hoist). Scale shape: the recursion produces O(months)
+    // rows — bounded by the DATE RANGE, not the row count — each
+    // iteration a 1-row projection; the spine broadcasts into the join
+    // and the orders aggregate is the usual partial→final collapse.
+    // Near-identical SQL text runs on DuckDB, so the oracle is
+    // hash-exact.
     "q47_recursive_cte" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("graft_q47_orders")
       s.sql("""
-        WITH RECURSIVE bounds AS (
-          SELECT CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mn,
+        WITH RECURSIVE spine AS (
+          SELECT CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mon,
                  CAST(MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mx
           FROM graft_q47_orders
-        ),
-        spine AS (
-          SELECT mn AS mon FROM bounds
           UNION ALL
-          SELECT s.mon + 1 FROM spine s JOIN bounds b ON s.mon < b.mx
+          SELECT mon + 1, mx FROM spine WHERE mon < mx
         ),
         monthly AS (
           SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mon,
@@ -675,15 +678,12 @@ object Relational {
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
 
     "q47_recursive_cte" -> """
-      WITH RECURSIVE bounds AS (
-        SELECT CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mn,
+      WITH RECURSIVE spine AS (
+        SELECT CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mon,
                CAST(MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mx
         FROM orders
-      ),
-      spine AS (
-        SELECT mn AS mon FROM bounds
         UNION ALL
-        SELECT s.mon + 1 FROM spine s JOIN bounds b ON s.mon < b.mx
+        SELECT mon + 1, mx FROM spine WHERE mon < mx
       ),
       monthly AS (
         SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mon,
