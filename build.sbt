@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes Bench's one-line JSON from the last 2000 bytes of
+// combined output. sbt's default LoggedOutput prefixes every forked
+// stdout line with "[info] ", which breaks the driver's per-line JSON
+// parse (BENCH_r06.json "parsed": null — the only complete line in the
+// tail carried the prefix). StdoutOutput passes the forked JVM's streams
+// through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -85,9 +85,6 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.med).sum else 0.0
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // belt-and-braces for tail truncation: same line on stderr too
-    System.err.println(line)
     val detail = results.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + short(k) + "\":{\"med_s\":" + ms(v.med) + ",\"min_s\":" + ms(v.min) +
         ",\"spread_s\":" + ms(v.spread) +
@@ -106,6 +103,15 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       (rich + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The compact line prints ONCE, to stdout, as the FINAL act — after
+    // spark.stop() so no shutdown log can land after it (VERDICT r6 item
+    // 5: the former print-before-stop + stderr duplicate meant the only
+    // complete line inside the driver's 2000-byte tail was sbt's
+    // "[info] "-prefixed copy, which json.loads rejects; with
+    // run/outputStrategy := StdoutOutput in build.sbt the line below
+    // reaches the driver raw and last, so "parsed" carries the per-query
+    // medians).
     spark.stop()
+    println(line)
   }
 }

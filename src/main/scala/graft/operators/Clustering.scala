@@ -102,33 +102,53 @@ object Clustering {
   /** Candidate (a_id, b_id) pairs for SemDeDup, hot-cell-guarded: exact
     * within-cell cross product for cells ≤ `cap`, within-cell LSH blocking
     * above it. Factored so ClusteringSpec measures the SHIPPED blocking's
-    * volume and recall on an adversarial all-one-cell planting. */
+    * volume and recall on an adversarial all-one-cell planting.
+    *
+    * Output contract: pairs are globally DISTINCT — each vector lives in
+    * exactly one cell (NearestCells k=1), a cell is wholly exact or wholly
+    * guarded, exact-path pairs are unique by construction, and the guarded
+    * path collapses its collision multiplicity below. Consumers need no
+    * re-dedup. */
   private[graft] def semanticCandidates(e: DataFrame, codebook: Seq[Seq[Double]],
       cap: Long = CellCap): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // one shuffle on cell tags every row with its cell size (the same
-    // exchange the pair join needs anyway — AQE reuses the partitioning)
-    val sized = assign(e, codebook)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cell"))))
-    val small = sized.filter(col("n") <= cap)
+    val assigned = assign(e, codebook)
+    // Cell sizing is a partial aggregation (VERDICT r6 item 1): map-side
+    // combine collapses the corpus to ≤ k rows before any exchange, so no
+    // task ever buffers a whole cell just to measure it. The previous
+    // Window.partitionBy(cell) sizing hash-partitioned the ENTIRE hot
+    // cell into one window task — the exact serial bottleneck the guard
+    // exists to avoid, and one AQE cannot skew-split the way it can the
+    // pair join. The ≤ k sizing rows collect to the driver (same
+    // model-sized footprint as the codebook itself), so when no cell is
+    // hot — the common case; K scales with the corpus precisely to keep
+    // cells small — the hot branch is never planned at all.
+    val hotCells: Seq[Int] = assigned
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .select(col("cell")).collect().map(_.getInt(0)).toSeq
+    val small =
+      if (hotCells.isEmpty) assigned
+      else assigned.filter(!col("cell").isin(hotCells: _*))
     val smallCands = small.select(col("cell"), col("vec_id").as("a_id"))
       .join(small.select(col("cell"), col("vec_id").as("b_id")), "cell")
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
-    val hot = sized.filter(col("n") > cap)
-    val hotIndex = hot.select(col("cell"), col("vec_id").as("b_id"),
-      explode(VectorOps.rpLshTables(col("v"), HotTables, HotBits)).as("tbk"))
-    val hotProbe = hot.select(col("cell"), col("vec_id").as("a_id"),
-      explode(VectorOps.rpLshProbes(col("v"), HotTables, HotBits)).as("tbk"))
-    val hotCands = hotProbe.join(hotIndex, Seq("cell", "tbk"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      // collapse multi-table/multi-probe collision multiplicity HERE,
-      // ids-only — a cos≈0.99 pair collides in nearly every table, and
-      // carrying dozens of copies through the vector re-joins and the
-      // exact cosine kernel would multiply the verify cost for nothing
-      .distinct()
-    smallCands.unionAll(hotCands)
+    if (hotCells.isEmpty) smallCands else {
+      val hot = assigned.filter(col("cell").isin(hotCells: _*))
+      val hotIndex = hot.select(col("cell"), col("vec_id").as("b_id"),
+        explode(VectorOps.rpLshTables(col("v"), HotTables, HotBits)).as("tbk"))
+      val hotProbe = hot.select(col("cell"), col("vec_id").as("a_id"),
+        explode(VectorOps.rpLshProbes(col("v"), HotTables, HotBits)).as("tbk"))
+      val hotCands = hotProbe.join(hotIndex, Seq("cell", "tbk"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        // collapse multi-table/multi-probe collision multiplicity HERE,
+        // ids-only — a cos≈0.99 pair collides in nearly every table, and
+        // carrying dozens of copies through the vector re-joins and the
+        // exact cosine kernel would multiply the verify cost for nothing
+        .distinct()
+      smallCands.unionAll(hotCands)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -160,9 +180,10 @@ object Clustering {
     // discipline as dd04/dd08); recall is bounded by cluster locality and
     // asserted against the exact ground truth in ClusteringSpec. Cells
     // above CellCap take the LSH sub-blocking path (hot-cell guard —
-    // fixture cells never do, so fixture output is the exact path's; the
-    // final distinct collapses the guarded path's multi-table collision
-    // multiplicity and is a no-op on the already-unique exact pairs).
+    // fixture cells never do, so fixture output is the exact path's).
+    // semanticCandidates' output contract is globally-distinct pairs, so
+    // no re-dedup is needed here (ADVICE r6: the former terminal distinct
+    // re-shuffled the whole result set for nothing).
     "dd10_semantic_dedup" -> ((s, d) => {
       val e = emb(s, d)
       val cb = codebookFor(s, d, K, Iters)
@@ -173,7 +194,6 @@ object Clustering {
           VectorOps.cosineD(col("a_v"), col("b_v")).as("cos"))
         .filter(col("cos") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
-        .distinct()
     })
   )
 

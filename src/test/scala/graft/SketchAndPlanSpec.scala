@@ -112,6 +112,21 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-doc run-length folds must not shuffle:\n$p")
   }
 
+  test("dd10: hot-cell sizing is partial-agg — no Window over the skew key") {
+    // VERDICT r6 item 1: Window.partitionBy(cell) would hash-partition an
+    // entire hot cell into ONE window task just to measure it (and AQE
+    // cannot skew-split a window the way it can the pair join). Sizing
+    // now partial-aggregates to ≤ k rows in a separate tiny job, so the
+    // pair plan must contain no Window node at all.
+    val p = plan("dd10_semantic_dedup")
+    assert(!p.contains("Window"),
+      s"dd10 must size cells via partial aggregation, not a window over cell:\n$p")
+    // and with no hot cell in the fixtures, the LSH guard branch must not
+    // be planned (no union of a second candidate source)
+    assert(!p.contains("Union"),
+      s"fixture corpus has no hot cell — the guard branch should be absent:\n$p")
+  }
+
   test("dd11: canonical dedup is a single hash shuffle with map-side partial agg") {
     val p = plan("dd11_tokenset_dedup")
     val exchanges = "Exchange".r.findAllIn(p).size
