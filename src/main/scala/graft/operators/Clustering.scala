@@ -154,10 +154,11 @@ object Clustering {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Trained-quantizer cluster statistics: size and within-cluster
     // cohesion (mean cosine to the assigned centroid) per cell. The
-    // k-means is deterministic (see trainKMeans), but Lloyd's iteration
-    // itself is not SQL-expressible, so the driver records a rows-only
-    // check; ClusteringSpec pins the argmin-assignment and training-
-    // improves-cohesion invariants against exact ground truth.
+    // k-means is deterministic (see trainKMeans) AND the fixed iteration
+    // count unrolls into plain SQL — the oracle re-runs the whole Lloyd
+    // loop in DuckDB (OracleMirror.kmeansCtes), so this is a full
+    // rows+schema+hash gate; ClusteringSpec additionally pins the
+    // argmin-assignment and training-improves-cohesion invariants.
     "cl01_kmeans_cells" -> ((s, d) => {
       val e = emb(s, d)
       val cb = codebookFor(s, d, K, Iters)
@@ -197,5 +198,30 @@ object Clustering {
     })
   )
 
-  val oracles: Map[String, String] = Map.empty
+  /** VERDICT r6 item 2: the k-means consumers are oracle-gated by
+    * re-running the ENTIRE deterministic training loop in DuckDB SQL —
+    * [[OracleMirror.kmeansCtes]] unrolls the fixed `Iters` Lloyd
+    * iterations as a CTE chain over the fixture parquet alone (no trained
+    * value crosses from Spark into the oracle). */
+  val oracles: Map[String, String] = Map(
+    "cl01_kmeans_cells" -> s"""
+      WITH ${OracleMirror.kmeansCtes(K, Iters)}
+      SELECT a.cell, COUNT(*) AS n_vecs,
+             ROUND(CAST(SUM(CAST(list_cosine_similarity(e.v, cb.cv)
+                               AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_cos
+      FROM asgF a
+      JOIN e ON e.vec_id = a.vec_id
+      JOIN cb$Iters cb ON cb.cell = a.cell
+      GROUP BY a.cell""",
+
+    "dd10_semantic_dedup" -> s"""
+      WITH ${OracleMirror.kmeansCtes(K, Iters)}
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos_r
+      FROM asgF a
+      JOIN asgF b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4""")
 }
