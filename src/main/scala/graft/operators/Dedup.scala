@@ -692,16 +692,36 @@ object Dedup {
     * where dd07's pair expansion pays k²/2 per k-copy duplicate group.
     * Factored for the skew stress spec, which measures exactly that gap
     * on a planted duplicate bomb. */
-  private[graft] def clusterTableOf(docsDf: DataFrame): DataFrame = {
+  private[graft] def clusterTableOf(docsDf: DataFrame,
+      sizesViaWindow: Boolean = true): DataFrame = {
     val (groups, repPairs) = prefixRepPairsOf(docsDf)
     val labels = propagateLabels(groups.select(col("rep_id")), repPairs)
     val m = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
       .join(labels, "rep_id")
-    // cluster size via a window count: the membership table shuffles on
-    // comp_id exactly ONCE (an agg+join formulation would shuffle it
-    // twice on the same key)
-    m.select(col("doc_id"), col("rep_id"), col("comp_id"),
-      count(lit(1)).over(Window.partitionBy(col("comp_id"))).as("n_members"))
+    // Cluster size via a window count: the membership table shuffles on
+    // comp_id exactly ONCE (the agg+join variant below shuffles it twice
+    // on the same key). The trade-off is SKEW ASYMMETRY: the window
+    // forces a whole comp_id through one task and AQE cannot split a
+    // window the way it can skew-split a join, whereas the variant's
+    // second shuffle is a join AQE can split — but its first shuffle (the
+    // partial agg) is map-side tiny. SkewSpec's ×100 duplicate-bomb tier
+    // measures both variants warm at k = 10⁶ copies: a count-only window
+    // STREAMS its partition (no buffering), so the 10⁶-row hot cluster
+    // cleared its single window task in ~137 ms and the one-shuffle plan
+    // stayed ahead on wall clock (2.6 s vs 2.8 s — SCALE.md §3 has the
+    // envelope). Default stays the window; the agg+join variant is kept
+    // one flag away because rank-like windows (which DO buffer) or still
+    // hotter clusters shift the balance, and the spec's 60 s max-task
+    // bound flags when they do.
+    if (sizesViaWindow)
+      m.select(col("doc_id"), col("rep_id"), col("comp_id"),
+        count(lit(1)).over(Window.partitionBy(col("comp_id"))).as("n_members"))
+    else {
+      val sizes = m.groupBy(col("comp_id"))
+        .agg(count(lit(1)).as("n_members"))
+      m.join(sizes, "comp_id")
+        .select(col("doc_id"), col("rep_id"), col("comp_id"), col("n_members"))
+    }
   }
 
   /** dd07's doc-level pair expansion on an arbitrary corpus — the

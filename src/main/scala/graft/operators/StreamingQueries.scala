@@ -89,7 +89,16 @@ object StreamingQueries {
     // finality compared in MICROseconds: the ts column is micro-precision,
     // and flooring last+gap to ms would declare a session final up to ~1ms
     // before the watermark strictly clears it — an admissible sub-ms
-    // arrival in that window would then wrongly open a new session
+    // arrival in that window would then wrongly open a new session.
+    // STRICTNESS invariant (ADVICE r6): a session whose end+gap lands
+    // EXACTLY on the final watermark ms (==) stays open forever — the
+    // ceil'd timeout reschedules to wm+1, which never comes once the
+    // stream ends. Emission therefore requires the end-of-stream
+    // watermark to advance STRICTLY past every session end; the drain
+    // harness guarantees it structurally (sentinel events sit years past
+    // the fixture tail, so wm·1000 − (last+gap) is ~10¹³ µs, never 0),
+    // and a production caller owns the same contract: feed a closing
+    // event past max(ts)+gap, as any watermark-final emission needs.
     val (fin, open) = merged.partition(st =>
       st.lastUs + gapUs < wmMs * 1000L)
     if (open.nonEmpty) {

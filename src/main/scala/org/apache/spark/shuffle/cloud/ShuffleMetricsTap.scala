@@ -38,12 +38,16 @@ class ShuffleMetricsTap(sc: SparkContext) extends SparkListener {
 
   /** Drain pending task-end events, then read-and-reset both counters.
     * Returns (shuffleBytesWritten, shuffleBytesRead) since the last call.
+    *
+    * Only meaningful when no job runs concurrently with the call (ADVICE
+    * r6): `sumThenReset` makes each counter individually lossless, but a
+    * task ending between the two calls still lands in the wrong harvest
+    * window — the serial query-at-a-time loops of Bench/ScaleProbe are
+    * the intended callers, and `waitUntilEmpty` only flushes events of
+    * ALREADY-finished tasks.
     */
   def harvest(): (Long, Long) = {
     sc.listenerBus.waitUntilEmpty()
-    val out = (written.sum(), read.sum())
-    written.reset()
-    read.reset()
-    out
+    (written.sumThenReset(), read.sumThenReset())
   }
 }
