@@ -68,9 +68,11 @@ object TextOps {
         xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bucket")))
 
   /** 64-bit SimHash of the token set: per-bit vote of each token's
-    * xxhash64 bits, packed into one long — the native
-    * [[org.apache.spark.sql.graft.SimHash64]] expression. Hamming distance
-    * between SimHashes approximates token-set dissimilarity. */
+    * md5-prefix bits, packed into one long — the native
+    * [[org.apache.spark.sql.graft.SimHash64]] expression (md5 rather than
+    * xxhash64 so the whole algorithm mirrors into an exact SQL oracle).
+    * Hamming distance between SimHashes approximates token-set
+    * dissimilarity. */
   def simhash(tokenSet: Column): Column =
     org.apache.spark.sql.graft.TextSignatures.simhash64(tokenSet)
 

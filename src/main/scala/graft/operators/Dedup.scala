@@ -500,7 +500,11 @@ object Dedup {
 
     // SimHash near-dup: 64-bit signature, blocking on 16-bit chunks (a
     // pair within hamming distance 3 shares at least one of 4 chunks),
-    // verified by exact hamming distance.
+    // verified by exact hamming distance. The chunk blocking is LOSSLESS
+    // (pigeonhole; NorthStarSpec asserts set-equality vs brute force), and
+    // since r7 the signature's per-token bit source is md5 — shared bit-
+    // for-bit with ANSI SQL engines — so the FULL algorithm (tokenize,
+    // vote, pack, pair, hamming) mirrors into a hash-exact DuckDB oracle.
     "dd05_simhash_pairs" -> ((s, d) => {
       val w = docs(s, d)
         .select(col("doc_id"), simhash(tokenSet(col("text"))).as("sh"))
@@ -878,6 +882,33 @@ object Dedup {
         AND LEN(a.ws) * 9 <= LEN(b.ws) * 10 AND LEN(b.ws) * 9 <= LEN(a.ws) * 10
       WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
               / (LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws))) >= 0.9""",
+
+    // whole-algorithm SimHash mirror (r7): the per-token bit source is the
+    // md5 prefix — bit j is bit 3-(j%4) of hex nibble j/4, exactly the
+    // strpos/shift arithmetic below — so DuckDB re-derives every signature
+    // from the raw text and the all-pairs hamming join is the TRUE answer
+    // the lossless chunk blocking must reproduce. Vote tie rule mirrored:
+    // strictly positive. Signatures carry as two 32-bit halves (a packed
+    // bit 63 would overflow signed BIGINT arithmetic on the SUM side).
+    "dd05_simhash_pairs" -> """
+      WITH tok AS MATERIALIZED (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        FROM documents),
+      th AS MATERIALIZED (SELECT doc_id, md5(t) AS h FROM tok),
+      votes AS MATERIALIZED (
+        SELECT doc_id, j,
+               SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, j//4 + 1, 1)) - 1)
+                              >> (3 - j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j),
+      sig AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 AND j < 32  THEN CAST(1 AS BIGINT) << j        ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN v > 0 AND j >= 32 THEN CAST(1 AS BIGINT) << (j - 32) ELSE 0 END) AS BIGINT) AS hi
+        FROM votes GROUP BY doc_id)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""",
 
     // exact all-pairs ground truth over the FULL table: dd07 is lossless,
     // so its output is SQL-expressible (unlike the probabilistic dd04)

@@ -55,8 +55,18 @@ case class MinHashSignature(child: Expression, perms: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash: per-bit majority vote of each token's xxhash64 (seed 42,
-  * matching Spark's `xxhash64` default), packed into one long. */
+/** 64-bit SimHash: per-bit majority vote of each token's hash, packed into
+  * one long.
+  *
+  * The per-token bit source is the FIRST 8 BYTES OF MD5 (bit j = bit
+  * `7 - j%8` of digest byte `j/8`, i.e. the hex string read MSB-first),
+  * not xxhash64: md5 is the one 64-bit-capable hash this engine and ANSI
+  * SQL engines share, which makes the whole SimHash algorithm mirrorable
+  * as an exact SQL oracle (dd05). The trade is per-token hash cost (~5×
+  * xxh64); SimHash hashes each distinct token once per document, so the
+  * signature pass stays a fraction of the tokenize cost. Vote tie rule:
+  * a bit is set iff its vote is STRICTLY positive (an even token count
+  * can tie at 0). */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
@@ -68,14 +78,15 @@ case class SimHash64(child: Expression)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val votes = new Array[Int](64)
+    val md = TextSignatures.md5Local.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
         var j = 0
         while (j < 64) {
-          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          votes(j) += (if (((digest(j >> 3) >>> (7 - (j & 7))) & 1) == 1) 1 else -1)
           j += 1
         }
       }
@@ -225,6 +236,14 @@ case class Bigrams(child: Expression)
 }
 
 object TextSignatures {
+  /** MessageDigest is stateful and not thread-safe; one instance per
+    * executor task thread, reset per token. */
+  private[graft] val md5Local: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   def minhashSignature(tokens: Column, perms: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(tokens), perms))
 
