@@ -100,6 +100,53 @@ object Pipelines {
             / count(lit(1))).as("avg_quality"))
     }),
 
+    // SEQUENCE PACKING — the training-data step downstream of cleaning:
+    // concatenate each source's documents in doc_id order and chop the
+    // token stream into fixed-budget training sequences (B = 512
+    // whitespace tokens here; a real pipeline swaps in the tokenizer's
+    // counts and context length — the plumbing is identical). Emits the
+    // per-doc placement table a packed-dataset writer consumes: doc_id,
+    // token count, global start offset within its source's stream, the
+    // sequence id the doc starts in, and whether it straddles a sequence
+    // boundary (the attention-mask/boundary-loss bookkeeping signal).
+    //
+    // Scale design: the naive plan is ONE running-sum window per source
+    // — a total sort with every row of a source through a single task
+    // (the dd12 window asymmetry, here over the FULL corpus, not a
+    // cluster table). Instead the prefix sum is HIERARCHICAL, the
+    // classic two-level scan: (1) a running sum inside fixed doc_id
+    // buckets — parallel across (source, bucket) partitions; (2) a
+    // second running sum over the per-bucket TOTALS — one row per
+    // bucket, thousands of rows where the corpus has billions — joined
+    // back as each bucket's base offset. Identical arithmetic (integer-
+    // exact), no serial full-source task; the oracle uses the naive
+    // single window, which proves the decomposition. PackingSpec also
+    // asserts the in-Spark equality and that the full-data window is
+    // bucket-partitioned.
+    "pp04_pack_sequences" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("bkt", expr("doc_id DIV 100"))
+      val local = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withLocal = docs.withColumn("local_cum", sum(col("n_tokens")).over(local))
+      val bktTotals = withLocal.groupBy(col("source"), col("bkt"))
+        .agg(max(col("local_cum")).as("bkt_tokens"))
+      val bktScan = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bktTotals
+        .withColumn("bkt_off", coalesce(sum(col("bkt_tokens")).over(bktScan), lit(0L)))
+        .select(col("source"), col("bkt"), col("bkt_off"))
+      withLocal.join(offsets, Seq("source", "bkt"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("bkt_off") + col("local_cum") - col("n_tokens")).as("start_off"))
+        .selectExpr("doc_id", "source", "n_tokens", "start_off",
+          "start_off DIV 512 AS seq_id",
+          "CAST((start_off + n_tokens - 1) DIV 512 > start_off DIV 512 AS INT) AS straddles")
+    }),
+
     // corpus prep: exact-dedup (keep lowest doc_id per content
     // fingerprint) → quality gate → 80/10/10 md5-rank split → per-split
     // stats over the SURVIVING corpus
@@ -148,6 +195,24 @@ object Pipelines {
                          THEN 1.0 ELSE 0.5 END)), 6)"""
 
   val oracles: Map[String, String] = Map(
+    // the NAIVE single-window prefix sum — proving the Spark side's
+    // hierarchical two-level scan computes the same placement exactly
+    "pp04_pack_sequences" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+           c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+        FROM t)
+      SELECT doc_id, source, n_tokens, start_off,
+             start_off // 512 AS seq_id,
+             CAST((start_off + n_tokens - 1) // 512 > start_off // 512 AS INT)
+               AS straddles
+      FROM c""",
+
     "pp02_stream_clean_corpus" -> s"""
       WITH dd AS (
         SELECT source, text,

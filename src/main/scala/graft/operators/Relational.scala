@@ -473,16 +473,40 @@ object Relational {
           coalesce(col("P"), lit(0L)).as("n_p"))
     }),
 
-    // --- approximate sketches (no SQL oracle: estimates are engine-
-    // specific; SketchSpec bounds them against exact counts) ---------------
+    // --- approximate sketches, oracle-gated via error-envelope verdicts ----
+    // The sketch VALUES are engine-specific (HLL++ register layout, the
+    // quantile summary's internals have no SQL mirror), so the driver-
+    // visible row carries the exact aggregates plus verdict columns
+    // asserting each sketch landed inside its published error envelope:
+    // approx_count_distinct(rsd=0.01) within 5% (= 5·rsd) of exact, and
+    // percentile_approx(accuracy=1000) — rank error ≤ n/1000 — between
+    // the exact 45th and 55th percentiles. Both sketches hash with fixed
+    // seeds, so on a fixed fixture the verdicts are deterministic and the
+    // oracle pins the all-1 outcome (the ts01 pattern). At 100 TB you
+    // ship ONLY the sketch columns — the exact countDistincts exist to
+    // power the gate (they cost an Expand ×3 of the scan); the sketch
+    // itself stays one partial+final hash agg with tiny state.
+    // SketchAndPlanSpec keeps the direct 5% assertion on the raw values.
     "q37_approx_sketches" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          percentile(col("l_extendedprice"), lit(0.45)).as("p45"),
+          percentile(col("l_extendedprice"), lit(0.55)).as("p55"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
+            .cast("int").as("parts_ok"),
+          (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.05)
+            .cast("int").as("orders_ok"),
+          (col("am") >= col("p45") && col("am") <= col("p55"))
+            .cast("int").as("median_ok"))
     }),
 
     // --- percentiles / median ----------------------------------------------
@@ -1048,6 +1072,20 @@ object Relational {
              COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
       FROM orders
       GROUP BY o_orderpriority""",
+
+    // the sketch internals have no SQL mirror; the oracle pins the exact
+    // aggregates plus the deterministic all-in-bounds verdict (see the
+    // query comment — the ts01 pinned-verdict pattern)
+    "q37_approx_sketches" -> """
+      SELECT l_returnflag,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT l_partkey) AS exact_parts,
+             COUNT(DISTINCT l_orderkey) AS exact_orders,
+             CAST(1 AS INT) AS parts_ok,
+             CAST(1 AS INT) AS orders_ok,
+             CAST(1 AS INT) AS median_ok
+      FROM lineitem
+      GROUP BY l_returnflag""",
 
     "q35_percentiles" -> """
       SELECT l_returnflag,

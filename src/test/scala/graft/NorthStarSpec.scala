@@ -244,6 +244,28 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"single chain is one component with min label 0: ${labels.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("dd15 star contraction: logarithmic rounds on the chain, dd09-identical labels") {
+    val ss = spark
+    import ss.implicits._
+    // the same 60-node path that forces dd09 into ~13 counted fallback
+    // rounds: star contraction halves distances per alternation, so it
+    // must land inside ceil(log2(60)) + a small constant
+    val n = 60L
+    val reps = (0L until n).toDF("rep_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("ra", "rb")
+    val (labels, rounds) =
+      graft.operators.Dedup.starComponentsWithRounds(reps, pairs)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n && got.forall(_._2 == 0L),
+      s"single chain is one component with min label 0: ${got.filter(_._2 != 0L).take(5).toSeq}")
+    info(s"star contraction converged in $rounds rounds on the 60-node chain")
+    assert(rounds <= 9, s"star rounds must stay logarithmic, got $rounds")
+    // and on the real fixture graph the two strategies agree exactly
+    val viaStar = rows("dd15_cc_star").map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaProp = rows("dd09_dup_components").map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaStar == viaProp, "dd15 and dd09 must produce identical components")
+  }
+
   test("dd12 cluster table is consistent with dd09 components (skew-safe terminal artifact)") {
     val comp = rows("dd09_dup_components")
       .map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -27,7 +27,11 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   test("approx_count_distinct stays within 5% of exact per group") {
-    val approx = SparkEntry.queries("q37_approx_sketches")(spark, sf)
+    // direct raw-value check, independent of q37's verdict plumbing
+    val approx = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
     val exact = Tables.load(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -39,6 +43,11 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(ap - p).toDouble / p < 0.05, s"$flag parts: $ap vs $p")
       assert(math.abs(ao - o).toDouble / o < 0.05, s"$flag orders: $ao vs $o")
     }
+    // and the oracle-gated verdict row reports every sketch in-bounds
+    val verdicts = SparkEntry.queries("q37_approx_sketches")(spark, sf)
+      .select(min(col("parts_ok")), min(col("orders_ok")), min(col("median_ok")))
+      .collect().head
+    assert((0 to 2).forall(verdicts.getInt(_) == 1), verdicts.toString)
   }
 
   private def plan(name: String): String =
@@ -51,6 +60,8 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
     case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
       flattenPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      flattenPlan(q.plan)
     case sc: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
       flattenPlan(sc.relation.cachedPlan)
     case other => other.children.flatMap(flattenPlan)
@@ -348,5 +359,34 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
     assert(p.contains("*(1)") && p.contains("*(2)"),
       s"expected both aggregate stages inside whole-stage codegen:\n$p")
+  }
+
+  test("pp04: corpus-wide prefix sum is bucket-partitioned, equals the naive scan") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = SparkEntry.queries("pp04_pack_sequences")(spark, sf)
+    df.collect() // AQE finalizes only on execution
+    val wins = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    // the window that scans every document must be subdivided by bucket;
+    // only the bucket-TOTALS scan (rows = buckets, not docs) may
+    // partition by source alone
+    assert(wins.exists(_.partitionSpec.size == 2),
+      s"full-data window must partition by (source, bkt): $wins")
+    val sourceOnly = wins.filter(_.partitionSpec.size < 2)
+    assert(sourceOnly.nonEmpty &&
+      sourceOnly.forall(_.child.schema.fieldNames.contains("bkt_tokens")),
+      s"only the bucket-totals scan may window by source alone: $sourceOnly")
+    // hierarchical placement == the naive one-window-per-source scan
+    val naive = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(
+        W.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)) - col("n_tokens"))
+      .select("doc_id", "start_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val packed = df.select("doc_id", "start_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(packed == naive, "hierarchical scan must equal the naive prefix sum")
   }
 }
