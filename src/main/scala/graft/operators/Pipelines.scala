@@ -147,6 +147,80 @@ object Pipelines {
           "CAST((start_off + n_tokens - 1) DIV 512 > start_off DIV 512 AS INT) AS straddles")
     }),
 
+    // BENCHMARK DECONTAMINATION — the eval-set n-gram overlap gate every
+    // production training corpus runs before packing (the GPT-3 paper's
+    // 13-gram rule; k=4 here because the fixtures' synthetic docs are
+    // 10-99 whitespace tokens — the plumbing is k-independent). The
+    // "benchmark" is the deterministic doc_id % 50 == 0 slice standing in
+    // for an external eval set; every other doc is training corpus, and a
+    // doc is contaminated if it shares ANY distinct k-gram with any
+    // benchmark doc. Emits the per-doc audit table (doc_id, source,
+    // n_shared distinct grams, contaminated flag) a filter consumes.
+    //
+    // Scale design: grams travel as 64-bit md5-prefix keys, never as
+    // strings — the join input is (doc_id, hash) pairs, the dd04
+    // ids-only discipline. Real eval sets are tiny relative to the
+    // corpus (~10⁵ docs), so the distinct benchmark gram set broadcasts
+    // and the contamination check is a map-side broadcast join — zero
+    // shuffle of the exploded training side; the only wide exchange is
+    // the per-doc count of the (rare) hits. PipelinesSpec asserts the
+    // broadcast. The md5-prefix key is engine-portable, so the DuckDB
+    // oracle runs the IDENTICAL algorithm (collisions, if any, collide
+    // identically — the dd05 argument).
+    "pp05_decontaminate" -> ((s, d) => {
+      val k = 4
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      // sequence(1, n) REVERSES when n < 1 (verify-skill gotcha): guard
+      // docs shorter than k tokens to an empty gram list explicitly
+      val grams = docs.select(col("doc_id"), explode(when(size(col("toks")) >= k,
+          expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+            s"i -> substring(md5(cast(array_join(slice(toks, i, $k), ' ') as binary)), 1, 16))"))
+        .otherwise(array().cast("array<string>"))).as("h"))
+      val bench = grams.filter(col("doc_id") % 50 === 0).select(col("h")).distinct()
+      val train = grams.filter(col("doc_id") % 50 =!= 0).distinct()
+      val hits = train.join(broadcast(bench), "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("hits"), lit(0L)).as("n_shared"),
+          (coalesce(col("hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+    }),
+
+    // SOURCE-MIXTURE SAMPLING — deterministic hash-threshold downsampling
+    // to a per-source mixture weight (the domain-reweighting step between
+    // cleaning and packing: CommonCrawl at 0.4, code+books at 0.9, etc.).
+    // A doc survives iff its md5 hex prefix sorts below the source's
+    // threshold ('e666' ≈ 0.9 for even-numbered sources, '6666' ≈ 0.4
+    // for odd — thresholds are 16-bit hex rungs, so rates are exact
+    // rationals n/65536). Emits per-source kept docs, kept tokens, and
+    // the realized mixture share of the sampled corpus.
+    //
+    // Scale design: the keep decision is a pure map-side filter on a
+    // per-row hash — no window, no rank, no shuffle of the corpus; the
+    // only exchange is the K-source partial agg, and the mixture-share
+    // normalization is a window over the K aggregated rows (K = sources,
+    // thousands at most — never data-sized). Contrast with pp01's
+    // rank-based split, which pays a per-source sort: rank sampling
+    // guarantees exact counts, hash thresholds guarantee per-row
+    // determinism at zero shuffle — at 100 TB you want the latter.
+    "pp06_mixture_sample" -> ((s, d) => {
+      val kept = Tables.load(s, d, "documents")
+        .select(col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          substring(md5(col("text").cast("binary")), 1, 4).as("hk"),
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 0, "e666")
+            .otherwise("6666").as("thr"))
+        .filter(col("hk") < col("thr"))
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("kept_tokens"))
+        .withColumn("mix_share",
+          round(col("kept_tokens").cast("double") /
+            sum(col("kept_tokens")).over(Window.partitionBy()), 6))
+    }),
+
     // corpus prep: exact-dedup (keep lowest doc_id per content
     // fingerprint) → quality gate → 80/10/10 md5-rank split → per-split
     // stats over the SURVIVING corpus
@@ -212,6 +286,40 @@ object Pipelines {
              CAST((start_off + n_tokens - 1) // 512 > start_off // 512 AS INT)
                AS straddles
       FROM c""",
+
+    // the IDENTICAL algorithm, gram hashing included — md5 prefixes are
+    // engine-portable, so even hash collisions collide identically
+    "pp05_decontaminate" -> """
+      WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+           g AS (
+        SELECT doc_id,
+               substring(md5(array_to_string(toks[i:i+3], ' ')), 1, 16) AS h
+        FROM t, UNNEST(range(1, len(toks) - 2)) AS u(i)),
+           bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 50 = 0),
+           train AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 50 <> 0),
+           hits AS (
+        SELECT doc_id, COUNT(*) AS hits FROM train JOIN bench USING (h)
+        GROUP BY doc_id)
+      SELECT d.doc_id, d.source,
+             CAST(COALESCE(hits, 0) AS BIGINT) AS n_shared,
+             CAST(COALESCE(hits, 0) > 0 AS INT) AS contaminated
+      FROM (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0) d
+      LEFT JOIN hits USING (doc_id)""",
+
+    "pp06_mixture_sample" -> """
+      WITH t AS (
+        SELECT source, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               substring(md5(text), 1, 4) AS hk,
+               CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                    THEN 'e666' ELSE '6666' END AS thr
+        FROM documents),
+           k AS (SELECT * FROM t WHERE hk < thr)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+             ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                   / SUM(SUM(n_tokens)) OVER (), 6) AS mix_share
+      FROM k GROUP BY source""",
 
     "pp02_stream_clean_corpus" -> s"""
       WITH dd AS (

@@ -389,4 +389,38 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(packed == naive, "hierarchical scan must equal the naive prefix sum")
   }
+
+  test("pp05: benchmark gram set broadcasts; training side never shuffles its grams") {
+    val df = SparkEntry.queries("pp05_decontaminate")(spark, sf)
+    df.collect()
+    val flat = flattenPlan(df.queryExecution.executedPlan)
+    assert(flat.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "contamination check must be a broadcast join of the eval gram set")
+    // no sort-merge join anywhere: the exploded training grams must meet
+    // the benchmark set map-side, not through a gram-keyed exchange
+    assert(!flat.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "training grams must not shuffle into a sort-merge join")
+    // sanity on the verdict itself: some but not all docs contaminated
+    val n = df.count()
+    val c = df.filter(col("contaminated") === 1).count()
+    assert(n > 0 && c > 0 && c < n, s"contaminated $c of $n")
+  }
+
+  test("pp06: the sampling decision is a pushed map-side filter, no corpus window") {
+    val df = SparkEntry.queries("pp06_mixture_sample")(spark, sf)
+    df.collect()
+    val flat = flattenPlan(df.queryExecution.executedPlan)
+    val wins = flat.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    // the only window normalizes the K aggregated source rows — its child
+    // carries kept_tokens, never raw document columns
+    assert(wins.nonEmpty && wins.forall(
+        _.child.schema.fieldNames.contains("kept_tokens")),
+      s"mixture-share window must run over aggregated rows only: $wins")
+    assert(!flat.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "hash-threshold sampling must not join or rank the corpus")
+  }
 }
