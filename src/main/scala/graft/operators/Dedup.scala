@@ -851,7 +851,10 @@ object Dedup {
         least(col("ra"), col("rb")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
-    val orig = edges.localCheckpoint()
+    // the certificate checks ORIGINAL edges: capture the round-0
+    // checkpoint by reference (the var moves on) — re-checkpointing it
+    // would materialize a second copy for nothing
+    val orig = edges
     def largeStar(e: DataFrame): DataFrame = {
       val adj = e.select(explode(array(
           struct(col("u"), col("v")),
@@ -889,7 +892,12 @@ object Dedup {
     while (labels == null && rounds < maxRounds) {
       edges = smallStar(largeStar(edges)).localCheckpoint()
       rounds += 1
-      val l = labelsOf(edges).localCheckpoint()
+      // labels stay LAZY: the certificate's count is the round's only
+      // other action, recomputing the cheap groupBy-min off the edge
+      // checkpoint inside its own plan (twice, for the lu/lv self-join —
+      // still far cheaper than a third materializing action per round;
+      // iterative loops are billed per ACTION, the dd09 lesson)
+      val l = labelsOf(edges)
       if (violations(l) == 0) labels = l
     }
     require(labels != null,
