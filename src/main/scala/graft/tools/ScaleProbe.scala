@@ -60,7 +60,14 @@ object ScaleProbe {
     // numbers measure the shipped pipeline under its own design premise
     val queries = Seq("q01_pricing_summary", "q05_regional_revenue",
       "q38_rollup_rank", "dd01_exact_dedup", "dd04_minhash_lsh_pairs",
-      "dd07_prefix_join", "dd09_dup_components", "dd12_dedup_clusters")
+      "dd07_prefix_join", "dd09_dup_components", "dd12_dedup_clusters",
+      // r7 additions: the alternate component strategy and the
+      // packing/gating stages (documents-based, so they ride the ×10
+      // replicated corpus; pp05's benchmark slice inherits 10 exact
+      // copies of every benchmark doc — the worst case for the
+      // contamination join's hit rate)
+      "dd15_cc_star", "pp04_pack_sequences", "pp05_decontaminate",
+      "pp06_mixture_sample")
     for (dir <- Seq(Src, Dst); name <- queries) {
       System.gc()
       tap.harvest()
