@@ -266,6 +266,35 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaStar == viaProp, "dd15 and dd09 must produce identical components")
   }
 
+  test("pp05 planted contamination: copies flag with exact gram counts, unique text stays clean") {
+    val ss = spark
+    import ss.implicits._
+    // a hand-built corpus where ground truth is computable by eye:
+    // doc 0/50/100 are the benchmark slice (doc_id % 50 == 0); doc 3
+    // copies benchmark text verbatim, doc 7 embeds a benchmark 4-gram
+    // inside fresh text, doc 11 shares nothing
+    val benchText = "alpha beta gamma delta epsilon zeta"
+    val dir = java.nio.file.Files.createTempDirectory("pp05-planted").toString
+    Seq(
+      (0L, "src0", benchText),
+      (50L, "src0", "one two three four five six seven"),
+      (100L, "src0", "red orange yellow green blue indigo"),
+      (3L, "src0", benchText), // verbatim copy: every gram shared
+      (7L, "src0", "noise prefix alpha beta gamma delta suffix noise"),
+      (11L, "src0", "totally unrelated words that overlap with nothing here")
+    ).toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("pp05_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    // benchmark docs are excluded from the audit table
+    assert(got.keySet == Set(3L, 7L, 11L), got.toString)
+    // verbatim copy: 6 tokens -> 3 distinct 4-grams, all shared
+    assert(got(3L) == ((3L, 1)), s"verbatim copy: ${got(3L)}")
+    // embedded gram: exactly one 4-gram (alpha beta gamma delta) matches
+    assert(got(7L) == ((1L, 1)), s"embedded gram: ${got(7L)}")
+    assert(got(11L) == ((0L, 0)), s"clean doc: ${got(11L)}")
+  }
+
   test("dd12 cluster table is consistent with dd09 components (skew-safe terminal artifact)") {
     val comp = rows("dd09_dup_components")
       .map(r => (r.getLong(0), r.getLong(1))).toMap
