@@ -45,7 +45,7 @@ class ConcurrentQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.spark.shuffle.cloud.CloudShuffleEnv.reset()
   }
 
-  test("8 shuffling queries run concurrently and each matches its serial result") {
+  test("a dozen shuffling queries run concurrently and each matches its serial result") {
     val sf = "/root/testdata/sf0.001"
     val names = Seq(
       "q01_pricing_summary", "q05_regional_revenue", "q09_order_size_histogram",
@@ -54,7 +54,11 @@ class ConcurrentQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the r3 shapes with driver-side coordination: dd09's iterative
       // label-propagation loop (localCheckpoint per round) and ss04's
       // quantizer-training collect inside the query builder
-      "dd09_dup_components", "ss04_ann_ivf_topk")
+      "dd09_dup_components", "ss04_ann_ivf_topk",
+      // r7: the memoized-model consumer (codebook + hot-cell registry
+      // reads interleaved across threads) and the broadcast-heavy
+      // decontamination join
+      "dd10_semantic_dedup", "pp05_decontaminate")
 
     def run(name: String): Set[String] =
       SparkEntry.queries(name)(spark, sf).collect()
