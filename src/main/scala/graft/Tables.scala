@@ -18,12 +18,22 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The `events` fixture stores ts as TIMESTAMP(NANOS); Spark reads it as
-    // a nanos long (spark.sql.legacy.parquet.nanosAsLong=true, set by
-    // GraftSession/Verify/Bench). Truncate to microseconds — the same thing
-    // DuckDB does on read — so both engines see identical instants.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Normalize `events.ts` to TIMESTAMP (with local tz) no matter which
+    // physical type the fixture generation produced — the epoch math in
+    // q40/st0x needs a type `unix_micros` accepts:
+    //  - TIMESTAMP(NANOS) reads as a nanos long
+    //    (spark.sql.legacy.parquet.nanosAsLong=true, set by GraftSession);
+    //    truncate to micros, matching DuckDB's read behavior.
+    //  - timestamp[us] without tz reads as TIMESTAMP_NTZ; the session tz is
+    //    pinned to UTC, so the cast keeps the identical instant DuckDB's
+    //    epoch_us sees.
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
     else df
   }
 
