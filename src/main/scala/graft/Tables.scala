@@ -18,23 +18,28 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Normalize `events.ts` to TIMESTAMP (with local tz) no matter which
-    // physical type the fixture generation produced — the epoch math in
-    // q40/st0x needs a type `unix_micros` accepts:
-    //  - TIMESTAMP(NANOS) reads as a nanos long
-    //    (spark.sql.legacy.parquet.nanosAsLong=true, set by GraftSession);
-    //    truncate to micros, matching DuckDB's read behavior.
-    //  - timestamp[us] without tz reads as TIMESTAMP_NTZ; the session tz is
-    //    pinned to UTC, so the cast keeps the identical instant DuckDB's
-    //    epoch_us sees.
-    if (name == "events") df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
-    }
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
+  /** Normalize an events-shaped frame's `ts` column to TIMESTAMP (with
+    * local tz) no matter which physical type the fixture generation
+    * produced — the ONE conversion every batch AND streaming read of the
+    * events fixture must route through (the r8 fixture regen flipped the
+    * encoding and broke every site that had its own copy of this match).
+    * The epoch math in q40/st0x needs a type `unix_micros` accepts:
+    *  - TIMESTAMP(NANOS) reads as a nanos long
+    *    (spark.sql.legacy.parquet.nanosAsLong=true, set by GraftSession);
+    *    truncate to micros, matching DuckDB's read behavior.
+    *  - timestamp[us] without tz reads as TIMESTAMP_NTZ; the session tz is
+    *    pinned to UTC, so the cast keeps the identical instant DuckDB's
+    *    epoch_us sees.
+    *  - TIMESTAMP passes through. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
   }
 
   /** Register all fixtures as temp views so `spark.sql` can reference them

@@ -115,18 +115,16 @@ object StreamingQueries {
     fin.map(emit).iterator
   }
 
-  /** Streaming-read the events fixture, converting the TIMESTAMP(NANOS)
-    * column exactly as Tables.load does for batch. */
+  /** Streaming-read the events fixture, converting the `ts` column through
+    * the SAME normalizer Tables.load uses for batch (Tables.normalizeEventsTs
+    * — one shared match over all three physical encodings). */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
     // the fixture is a single file and the file streaming source wants a
     // directory: stream the parent with a glob pinned to this fixture
-    val raw = s.readStream.schema(rawSchema)
+    Tables.normalizeEventsTs(s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+      .parquet(d))
   }
 
   /** Drain `df` through a complete-mode memory sink and return the result
@@ -306,19 +304,26 @@ object StreamingQueries {
       Files.copy(Paths.get(s"$d/events.parquet"), fixture,
         StandardCopyOption.REPLACE_EXISTING)
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      val tsIsNanosLong =
-        rawSchema("ts").dataType == org.apache.spark.sql.types.LongType
       // one click + one purchase sentinel per file so BOTH join inputs'
-      // watermarks advance (the join watermark is their min)
+      // watermarks advance (the join watermark is their min). The sentinel
+      // ts value must match the fixture's PHYSICAL encoding (the staged
+      // file sits in the same source dir under one schema): nanos-long →
+      // Long, TIMESTAMP_NTZ → LocalDateTime (what createDataFrame expects
+      // for NTZ fields), TIMESTAMP → java.sql.Timestamp. The session tz is
+      // UTC, so the NTZ LocalDateTime names the same instant.
       def writeSentinel(name: String, isoTs: String, mtime: Long): Unit = {
-        val us = java.time.Instant.parse(isoTs).toEpochMilli * 1000L
+        val inst = java.time.Instant.parse(isoTs)
+        val us = inst.toEpochMilli * 1000L
+        val tsValue: Any = rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => us * 1000L
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+          case _ => java.sql.Timestamp.from(inst)
+        }
         val rows = Seq(("click", -1L), ("purchase", -2L)).map { case (tpe, id) =>
           org.apache.spark.sql.Row.fromSeq(rawSchema.fields.map(_.name).map {
             case "event_id" => id
-            case "ts" => if (tsIsNanosLong) us * 1000L
-                         else java.sql.Timestamp.from(
-                           java.time.Instant.ofEpochSecond(us / 1000000L,
-                             (us % 1000000L) * 1000L))
+            case "ts" => tsValue
             case "user_id" => id
             case "event_type" => tpe
             case "value" => 0.0
@@ -331,11 +336,9 @@ object StreamingQueries {
       val t0 = Files.getLastModifiedTime(fixture).toMillis
       writeSentinel("sentinel1.parquet", "2030-01-01T00:00:00Z", t0 + 60000)
       writeSentinel("sentinel2.parquet", "2030-02-01T00:00:00Z", t0 + 120000)
-      val raw = s.readStream.schema(rawSchema)
+      val src = Tables.normalizeEventsTs(s.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir.toString)
-      val src = if (tsIsNanosLong)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw
+        .parquet(srcDir.toString))
       drain(s, build(src), mode = "append")
     } finally {
       // the drain is synchronous; the staged source dir can go at once

@@ -11,13 +11,8 @@ object StreamJoinProbe {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
     val s = GraftSession.get("4")
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    def ev = {
-      val raw = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    }
+    def ev = graft.Tables.normalizeEventsTs(s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d))
     val a = ev.withWatermark("ts", "10 minutes")
       .select(col("user_id").as("a_user"), col("event_id").as("a_id"), col("ts").as("a_ts"))
     val b = ev.withWatermark("ts", "10 minutes")
