@@ -40,30 +40,48 @@ object StreamingQueries {
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
-  /** st08's state machine — watermark-FINAL sessionization: the batch
-    * folds into its own gaps-and-islands sessions (sorted first — group
-    * iterators carry no order guarantee), merges with every undecided
-    * session in state by the interval-gap rule (min start / max end, so
-    * a watermark-admitted out-of-order event can extend a session
-    * backwards or BRIDGE two of them), and a session is emitted only
-    * once the watermark proves it final: watermark > last + gap means
-    * any still-admissible event has ts ≥ watermark > last + gap and can
-    * neither extend nor bridge it. Undecided sessions wait in state
-    * under an event-time timeout at the oldest session's last + gap.
-    * Value sums accumulate as exact integer cents (each value cast with
-    * Spark's double→decimal HALF_UP semantics), so the emitted
-    * session_value is order-independent and engine-exact — together
-    * these make the drained table equal the batch gaps-and-islands SQL
-    * for ANY watermark-admitted arrival order, not just single-batch
-    * fixtures. */
-  private[graft] def sessionize(gapUs: Long)(user: Long, it: Iterator[SessEvent],
-      state: org.apache.spark.sql.streaming.GroupState[SessBuf])
-      : Iterator[SessOut] = {
-    def emit(st: SessState) = SessOut(user, usToTs(st.startUs),
-      usToTs(st.lastUs), st.n, st.sumCents / 100.0)
-    val evs = it.toIndexedSeq.sortBy(e => tsUs(e.ts))
+  /** The watermark-final sessionization CORE, shared by st08
+    * (flatMapGroupsWithState) and st09 (transformWithState) — one state
+    * machine, two arbitrary-state APIs, so the semantics cannot drift:
+    * the batch folds into its own gaps-and-islands sessions (sorted
+    * first — group iterators carry no order guarantee), merges with
+    * every undecided session in state by the interval-gap rule (min
+    * start / max end, so a watermark-admitted out-of-order event can
+    * extend a session backwards or BRIDGE two of them), and a session is
+    * emitted only once the watermark proves it final: watermark >
+    * last + gap means any still-admissible event has ts ≥ watermark >
+    * last + gap and can neither extend nor bridge it. Value sums
+    * accumulate as exact integer cents (each value cast with Spark's
+    * double→decimal HALF_UP semantics), so the emitted session_value is
+    * order-independent and engine-exact — together these make the
+    * drained table equal the batch gaps-and-islands SQL for ANY
+    * watermark-admitted arrival order, not just single-batch fixtures.
+    *
+    * Finality is compared in MICROseconds: the ts column is
+    * micro-precision, and flooring last+gap to ms would declare a
+    * session final up to ~1ms before the watermark strictly clears it —
+    * an admissible sub-ms arrival in that window would then wrongly open
+    * a new session. STRICTNESS invariant (ADVICE r6): a session whose
+    * end+gap lands EXACTLY on the final watermark ms (==) stays open
+    * forever — the ceil'd timer reschedules to wm+1, which never comes
+    * once the stream ends. Emission therefore requires the end-of-stream
+    * watermark to advance STRICTLY past every session end; the drain
+    * harness guarantees it structurally (sentinel events sit years past
+    * the fixture tail), and a production caller owns the same contract:
+    * feed a closing event past max(ts)+gap, as any watermark-final
+    * emission needs.
+    *
+    * Returns (final sessions to emit, still-open sessions for state, the
+    * ms timestamp for the next event-time timer — the oldest undecided
+    * session's finality point, ceil'd to ms so the timer can never fire
+    * before micro-precision finality holds, clamped above the watermark
+    * because Spark rejects timers at/behind it; 0 when nothing stays
+    * open). */
+  private[graft] def sessionStep(gapUs: Long, prior: Seq[SessState],
+      evs: Seq[SessEvent], wmMs: Long)
+      : (List[SessState], List[SessState], Long) = {
     var batch = List.empty[SessState]
-    for (e <- evs) {
+    for (e <- evs.sortBy(e => tsUs(e.ts))) {
       val us = tsUs(e.ts)
       val cents = java.math.BigDecimal.valueOf(e.value)
         .setScale(2, java.math.RoundingMode.HALF_UP)
@@ -75,7 +93,7 @@ object StreamingQueries {
           SessState(us, us, 1L, cents) :: other
       }
     }
-    val merged = (state.getOption.map(_.open).getOrElse(Seq.empty) ++ batch.reverse)
+    val merged = (prior ++ batch.reverse)
       .sortBy(_.startUs)
       .foldLeft(List.empty[SessState]) { (acc, s2) =>
         acc match {
@@ -85,34 +103,71 @@ object StreamingQueries {
           case _ => s2 :: acc
         }
       }.reverse
-    val wmMs = state.getCurrentWatermarkMs()
-    // finality compared in MICROseconds: the ts column is micro-precision,
-    // and flooring last+gap to ms would declare a session final up to ~1ms
-    // before the watermark strictly clears it — an admissible sub-ms
-    // arrival in that window would then wrongly open a new session.
-    // STRICTNESS invariant (ADVICE r6): a session whose end+gap lands
-    // EXACTLY on the final watermark ms (==) stays open forever — the
-    // ceil'd timeout reschedules to wm+1, which never comes once the
-    // stream ends. Emission therefore requires the end-of-stream
-    // watermark to advance STRICTLY past every session end; the drain
-    // harness guarantees it structurally (sentinel events sit years past
-    // the fixture tail, so wm·1000 − (last+gap) is ~10¹³ µs, never 0),
-    // and a production caller owns the same contract: feed a closing
-    // event past max(ts)+gap, as any watermark-final emission needs.
     val (fin, open) = merged.partition(st =>
       st.lastUs + gapUs < wmMs * 1000L)
+    val timerMs = if (open.isEmpty) 0L
+      else math.max((open.map(_.lastUs).min + gapUs + 999L) / 1000L, wmMs + 1L)
+    (fin, open, timerMs)
+  }
+
+  private def emitSession(user: Long)(st: SessState): SessOut =
+    SessOut(user, usToTs(st.startUs), usToTs(st.lastUs), st.n,
+      st.sumCents / 100.0)
+
+  /** st08's state machine: `sessionStep` driven through the
+    * flatMapGroupsWithState API (GroupState + event-time timeouts). */
+  private[graft] def sessionize(gapUs: Long)(user: Long, it: Iterator[SessEvent],
+      state: org.apache.spark.sql.streaming.GroupState[SessBuf])
+      : Iterator[SessOut] = {
+    val (fin, open, timerMs) = sessionStep(gapUs,
+      state.getOption.map(_.open).getOrElse(Seq.empty),
+      it.toIndexedSeq, state.getCurrentWatermarkMs())
     if (open.nonEmpty) {
       state.update(SessBuf(open))
-      // fire when the oldest undecided session becomes final: ceiling to
-      // ms so the timeout can never fire before micro-precision finality
-      // holds (clamped above the watermark — Spark rejects timeouts
-      // at/behind it)
-      state.setTimeoutTimestamp(math.max(
-        (open.map(_.lastUs).min + gapUs + 999L) / 1000L, wmMs + 1L))
+      state.setTimeoutTimestamp(timerMs)
     } else {
       state.remove()
     }
-    fin.map(emit).iterator
+    fin.map(emitSession(user)).iterator
+  }
+
+  /** st09's state machine: the SAME `sessionStep`, driven through
+    * transformWithState — Spark 4.x's production arbitrary-state API
+    * (typed per-key state handles + explicit timer registry, RocksDB-only
+    * by design). Per-key open sessions live in ONE ValueState; one
+    * event-time timer per key fires at the oldest undecided session's
+    * finality point, and both entry points (input rows, expired timer)
+    * funnel into the shared step so the two APIs cannot diverge. The
+    * timer registry is explicitly reconciled to ≤1 live timer per key —
+    * unlike GroupState's single implicit timeout, TWS accumulates every
+    * registered timer until deleted, and a stale earlier timer would
+    * only cost a harmless extra no-op invocation, but the reconcile
+    * keeps the per-key state-store footprint constant. */
+  private[graft] class TwsSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvent, SessOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var open: ValueState[SessBuf] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessBuf]("open",
+        org.apache.spark.sql.Encoders.product[SessBuf], TTLConfig.NONE)
+    private def step(user: Long, evs: Seq[SessEvent], wmMs: Long)
+        : Iterator[SessOut] = {
+      val prior = if (open.exists()) open.get().open else Seq.empty[SessState]
+      val (fin, opens, timerMs) = sessionStep(gapUs, prior, evs, wmMs)
+      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
+      if (opens.nonEmpty) {
+        open.update(SessBuf(opens))
+        getHandle.registerTimer(timerMs)
+      } else open.clear()
+      fin.map(emitSession(user)).iterator
+    }
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+        tv: TimerValues): Iterator[SessOut] =
+      step(user, rows.toIndexedSeq, tv.getCurrentWatermarkInMs())
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessOut] =
+      step(user, Seq.empty, tv.getCurrentWatermarkInMs())
   }
 
   /** Streaming-read the events fixture, converting the `ts` column through
@@ -477,6 +532,40 @@ object StreamingQueries {
       }.filter(col("user_id") >= 0)
     }),
 
+    // The SAME watermark-final sessionization as st08, re-expressed on
+    // transformWithState — Spark 4.x's successor to flatMapGroupsWithState
+    // and the API a production pipeline writes new stateful operators
+    // against (typed state handles, explicit event-time timers, RocksDB
+    // state store required by the engine). Oracle: the identical batch
+    // gaps-and-islands SQL — st08 and st09 must produce byte-identical
+    // tables, proving the engine's two arbitrary-state APIs agree on one
+    // state machine.
+    "st09_stream_tws_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      // transformWithState only runs on the RocksDB provider; scope the
+      // override to this drain (restore after — provider-invariance of
+      // every other drain is RocksDbStateSpec-proven, but the session
+      // conf should not leak a side effect)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        drainWithSentinels(s, d) { src =>
+          src.select(col("user_id"), col("ts"), col("value")).as[SessEvent]
+            .withWatermark("ts", "10 minutes")
+            .groupByKey(_.user_id)
+            .transformWithState(new TwsSessionProcessor(30L * 60 * 1000000),
+              TimeMode.EventTime(), OutputMode.Append())
+            .toDF()
+        }.filter(col("user_id") >= 0)
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // Per-user session windows (30-minute gap): the streaming engine's
     // session merging vs DuckDB's gaps-and-islands formulation.
     "st02_stream_sessions" -> ((s, d) => {
@@ -558,6 +647,29 @@ object StreamingQueries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM shifted
       GROUP BY 1, 2""",
+
+    // st09 = st08's state machine on the transformWithState API: same
+    // gaps-and-islands oracle (session_end = last event; exact cents)
+    "st09_stream_tws_sessions" -> """
+      WITH o AS (
+        SELECT user_id, ts, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events),
+           m AS (
+        SELECT user_id, ts, value,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o)
+      SELECT user_id,
+             CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+             CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM m
+      GROUP BY user_id, session_id""",
 
     // st02's gaps-and-islands with st08's emission (session_end = last
     // event itself; value as exact decimal cents)
