@@ -19,7 +19,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * TimestampType value — for the batch loader AND for a watermarked
   * streaming read (the path that crashed with
   * EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE when streamEvents kept its own
-  * single-arm copy of the conversion). */
+  * single-arm copy of the conversion). The third test drives the sentinel
+  * close-out harness (st06's outer join) under each encoding — the
+  * sentinel writer must stage its watermark-advancing rows in the
+  * fixture's own physical type (ADVICE r8 medium: the non-nanos branch
+  * built java.sql.Timestamp values for an NTZ field, which createDataFrame
+  * rejects). */
 class EventsTsEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -40,31 +45,39 @@ class EventsTsEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  // two instants an hour apart, micro-precision tail to catch truncation
+  // micro-precision tails to catch truncation; the purchase sits 30min
+  // after user 7's click (inside st06's 1h attribution window), user 8's
+  // click at i2 has no purchase (the outer join's unmatched row)
   private val i1 = Instant.parse("2024-03-01T10:15:30.123456Z")
+  private val iP = Instant.parse("2024-03-01T10:45:30.123456Z")
   private val i2 = Instant.parse("2024-03-01T11:15:30.654321Z")
   private def us(i: Instant): Long =
     i.getEpochSecond * 1000000L + i.getNano / 1000L
 
-  /** Write a 2-row events-shaped fixture with `ts` under the given
+  /** Write a 3-row events-shaped fixture with `ts` under the given
     * encoding; returns the fixture dir (file named events.parquet so the
-    * streaming glob matches). */
+    * streaming glob matches). Full events schema including props so the
+    * sentinel writer's field walk is exercised. */
   private def writeFixture(enc: String): String = {
     val dir = Files.createTempDirectory(s"graft-tsenc-$enc")
-    val (tsType, v1, v2): (DataType, Any, Any) = enc match {
-      case "nanos-long" => (LongType, us(i1) * 1000L, us(i2) * 1000L)
-      case "ntz" => (TimestampNTZType,
-        LocalDateTime.ofInstant(i1, ZoneOffset.UTC),
-        LocalDateTime.ofInstant(i2, ZoneOffset.UTC))
-      case "ltz" => (TimestampType,
-        java.sql.Timestamp.from(i1), java.sql.Timestamp.from(i2))
+    def tsVal(i: Instant): Any = enc match {
+      case "nanos-long" => us(i) * 1000L
+      case "ntz" => LocalDateTime.ofInstant(i, ZoneOffset.UTC)
+      case "ltz" => java.sql.Timestamp.from(i)
+    }
+    val tsType: DataType = enc match {
+      case "nanos-long" => LongType
+      case "ntz" => TimestampNTZType
+      case "ltz" => TimestampType
     }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType)))
+      StructField("value", DoubleType), StructField("props", StringType)))
     val rows = java.util.Arrays.asList(
-      Row(1L, v1, 7L, "click", 1.5), Row(2L, v2, 7L, "purchase", 2.5))
+      Row(1L, tsVal(i1), 7L, "click", 1.5, "{}"),
+      Row(2L, tsVal(iP), 7L, "purchase", 2.5, "{}"),
+      Row(3L, tsVal(i2), 8L, "click", 0.5, "{}"))
     val df = spark.createDataFrame(rows, schema)
     df.coalesce(1).write.mode("overwrite").parquet(dir.resolve("out").toString)
     val listing = Files.list(dir.resolve("out"))
@@ -86,7 +99,7 @@ class EventsTsEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$enc: expected TIMESTAMP after normalize, got ${df.schema("ts").dataType}")
       val got = df.orderBy("event_id")
         .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
-      assert(got == Seq(us(i1), us(i2)), s"$enc: micros mismatch: $got")
+      assert(got == Seq(us(i1), us(iP), us(i2)), s"$enc: micros mismatch: $got")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
@@ -114,10 +127,35 @@ class EventsTsEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val hourUs = 3600L * 1000000L
       assert(rows == Set(
         (us(i1) / hourUs * hourUs, "click", 1L),
-        (us(i2) / hourUs * hourUs, "purchase", 1L)),
+        (us(iP) / hourUs * hourUs, "purchase", 1L),
+        (us(i2) / hourUs * hourUs, "click", 1L)),
         s"$enc: drained windows mismatch: $rows")
       spark.catalog.dropTempView(name)
       org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("sentinel close-out harness stages its rows under all three encodings") {
+    // st06Drained = fixture + two far-future sentinel files (written in the
+    // fixture's OWN physical ts type) → stream-stream left-outer interval
+    // join → append drain. Expected under every encoding: user 7's click
+    // matched to the purchase 30min later, user 8's click emitted
+    // unmatched only because the sentinels advanced the watermark.
+    for (enc <- encodings) {
+      val dir = writeFixture(enc)
+      val got = operators.StreamingQueries.st06Drained(spark, dir)
+        .select(col("a_id"), col("b_id"),
+          unix_micros(col("a_ts")).as("aus"), unix_micros(col("b_ts")).as("bus"))
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -999L else r.getLong(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) -999L else r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, 2L, us(i1), us(iP)),
+        (3L, -999L, us(i2), -999L)),
+        s"$enc: outer-join close-out mismatch: $got")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
