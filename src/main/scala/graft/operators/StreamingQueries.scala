@@ -142,20 +142,27 @@ object StreamingQueries {
     * unlike GroupState's single implicit timeout, TWS accumulates every
     * registered timer until deleted, and a stale earlier timer would
     * only cost a harmless extra no-op invocation, but the reconcile
-    * keeps the per-key state-store footprint constant. */
-  private[graft] class TwsSessionProcessor(gapUs: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvent, SessOut] {
+    * keeps the per-key state-store footprint constant.
+    *
+    * The core is a mixin so the plain processor and the
+    * initial-state-bootstrapped one (below) share every line of logic. */
+  private[graft] trait TwsSessionCore {
+    self: org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvent, SessOut] =>
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
       TTLConfig, TimeMode, TimerValues, ValueState}
-    @transient private var open: ValueState[SessBuf] = _
+    protected def gapUs: Long
+    @transient protected var open: ValueState[SessBuf] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       open = getHandle.getValueState[SessBuf]("open",
         org.apache.spark.sql.Encoders.product[SessBuf], TTLConfig.NONE)
-    private def step(user: Long, evs: Seq[SessEvent], wmMs: Long)
-        : Iterator[SessOut] = {
+    protected def step(user: Long, evs: Seq[SessEvent], wmMs: Long,
+        firedMs: Long = Long.MinValue): Iterator[SessOut] = {
       val prior = if (open.exists()) open.get().open else Seq.empty[SessState]
       val (fin, opens, timerMs) = sessionStep(gapUs, prior, evs, wmMs)
-      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
+      // the engine removes a FIRED timer itself — deleting it again only
+      // logs a warning per key per batch; reconcile the others
+      getHandle.listTimers().toList.filterNot(_ == firedMs)
+        .foreach(getHandle.deleteTimer)
       if (opens.nonEmpty) {
         open.update(SessBuf(opens))
         getHandle.registerTimer(timerMs)
@@ -167,7 +174,52 @@ object StreamingQueries {
       step(user, rows.toIndexedSeq, tv.getCurrentWatermarkInMs())
     override def handleExpiredTimer(user: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[SessOut] =
-      step(user, Seq.empty, tv.getCurrentWatermarkInMs())
+      step(user, Seq.empty, tv.getCurrentWatermarkInMs(),
+        firedMs = info.getExpiryTimeInMs)
+  }
+
+  private[graft] class TwsSessionProcessor(protected val gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvent, SessOut]
+      with TwsSessionCore
+
+  /** The state-BOOTSTRAP variant: a production pipeline starting
+    * continuous sessionization over a stream with years of history does
+    * not replay the history through the stream — it batch-computes each
+    * key's open-session buffer (the same `sessionStep`, run once over
+    * the historical events with the cutover watermark) and hands it to
+    * transformWithState as initial state. handleInitialState seeds the
+    * ValueState and registers the finality timer exactly as a live batch
+    * would, so a bootstrapped job is indistinguishable from one that
+    * streamed the history — TwsBootstrapSpec proves it: batch-seeded
+    * state + streamed tail == one full streaming run, row-identical. */
+  private[graft] class TwsSessionProcessorWithInit(protected val gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, SessEvent, SessOut, SessBuf]
+      with TwsSessionCore {
+    override def handleInitialState(user: Long, st: SessBuf,
+        tv: org.apache.spark.sql.streaming.TimerValues): Unit =
+      if (st.open.nonEmpty) {
+        open.update(st)
+        getHandle.registerTimer(math.max(
+          (st.open.map(_.lastUs).min + gapUs + 999L) / 1000L,
+          tv.getCurrentWatermarkInMs() + 1L))
+      }
+  }
+
+  /** Batch half of the bootstrap: fold each key's historical events with
+    * `sessionStep` at the cutover watermark, returning (emitted-final
+    * sessions, per-key open buffers to seed the stream). ONE shuffle
+    * (groupByKey on user) over the history — the shape of a 100 TB
+    * backfill job. */
+  private[graft] def bootstrapSessions(history: org.apache.spark.sql.Dataset[SessEvent],
+      gapUs: Long, wmMs: Long)
+      : (org.apache.spark.sql.Dataset[SessOut], org.apache.spark.sql.Dataset[(Long, SessBuf)]) = {
+    import history.sparkSession.implicits._
+    val folded = history.groupByKey(_.user_id).mapGroups { (user, it) =>
+      val (fin, open, _) = sessionStep(gapUs, Seq.empty, it.toIndexedSeq, wmMs)
+      (user, fin.map(emitSession(user)), SessBuf(open))
+    }.cache()
+    (folded.flatMap(_._2), folded.map(t => (t._1, t._3)).filter(_._2.open.nonEmpty))
   }
 
   /** Streaming-read the events fixture, converting the `ts` column through
@@ -220,7 +272,7 @@ object StreamingQueries {
     * descend into a directory-shaped parquet output), and mtime order is
     * microbatch order under maxFilesPerTrigger=1. Shared by the sentinel
     * harness below and ss09's staged query stream. */
-  private[operators] def stageAsFile(df: DataFrame, out: java.nio.file.Path,
+  private[graft] def stageAsFile(df: DataFrame, out: java.nio.file.Path,
       mtime: Long): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val stage = Files.createTempDirectory("graft-stage")
@@ -350,7 +402,7 @@ object StreamingQueries {
     * dir. Sentinel rows carry negative user/event ids (one 'click' + one
     * 'purchase' per sentinel file so every filtered substream's watermark
     * advances) — callers filter them from the drained output. */
-  private def drainWithSentinels(s: SparkSession, d: String)
+  private[graft] def drainWithSentinels(s: SparkSession, d: String)
       (build: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val srcDir = Files.createTempDirectory("graft-st06-src")
