@@ -215,10 +215,14 @@ object StreamingQueries {
       gapUs: Long, wmMs: Long)
       : (org.apache.spark.sql.Dataset[SessOut], org.apache.spark.sql.Dataset[(Long, SessBuf)]) = {
     import history.sparkSession.implicits._
+    // localCheckpoint, not cache: eager one-shot materialization whose
+    // blocks the ContextCleaner reclaims when the Dataset goes out of
+    // scope — repeated verify/bench passes must not accumulate
+    // CacheManager entries for a per-run throwaway
     val folded = history.groupByKey(_.user_id).mapGroups { (user, it) =>
       val (fin, open, _) = sessionStep(gapUs, Seq.empty, it.toIndexedSeq, wmMs)
       (user, fin.map(emitSession(user)), SessBuf(open))
-    }.cache()
+    }.localCheckpoint()
     (folded.flatMap(_._2), folded.map(t => (t._1, t._3)).filter(_._2.open.nonEmpty))
   }
 
@@ -618,6 +622,63 @@ object StreamingQueries {
       }
     }),
 
+    // The batch→stream CUTOVER, driver-gated: batch-fold the first half
+    // of events (history) into final sessions + per-key open buffers
+    // with the shared sessionStep, seed a transformWithState job with
+    // the buffers via StatefulProcessorWithInitialState, stream only the
+    // tail, and emit backfill ∪ streamed. The oracle is the SAME
+    // gaps-and-islands SQL as st08/st09 over the WHOLE table — the
+    // cutover must be invisible in the output, which is the property
+    // that lets a production pipeline start streaming over 100 TB of
+    // history without replaying it. The cut lands at the exact
+    // event-time median, so open sessions genuinely straddle it.
+    "st10_stream_bootstrap_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import s.implicits._
+      val gapUs = 30L * 60 * 1000000
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val events = Tables.load(s, d, "events")
+          .select(col("user_id"), col("ts"), col("value")).as[SessEvent]
+        val cutUs = events.select(unix_micros(col("ts")).as("us"))
+          .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+        val history = events.filter(unix_micros(col("ts")) < cutUs)
+        // the cutover watermark: what the stream's would have been right
+        // before the first tail batch (max history ts − delay, in ms)
+        val wmMs = history.select(max(unix_micros(col("ts")))).as[Long].head() /
+          1000L - 10L * 60 * 1000
+        val (finHist, seed) = bootstrapSessions(history, gapUs, wmMs)
+        val tailDir = java.nio.file.Files.createTempDirectory("graft-st10")
+        try {
+          stageAsFile(Tables.load(s, d, "events")
+              .filter(unix_micros(col("ts")) >= cutUs),
+            tailDir.resolve("events.parquet"), System.currentTimeMillis())
+          val streamed = drainWithSentinels(s, tailDir.toString) { src =>
+            src.select(col("user_id"), col("ts"), col("value")).as[SessEvent]
+              .withWatermark("ts", "10 minutes")
+              .groupByKey(_.user_id)
+              .transformWithState(new TwsSessionProcessorWithInit(gapUs),
+                TimeMode.EventTime(), OutputMode.Append(),
+                seed.groupByKey(_._1).mapValues(_._2))
+              .toDF()
+          }.filter(col("user_id") >= 0)
+          // the drain is synchronous and its output local; finHist reads
+          // only the original fixture, so materialize the union before
+          // the staged tail dir goes away
+          val out = finHist.toDF().unionByName(streamed).localCheckpoint()
+          out
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tailDir.toFile)
+        }
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // Per-user session windows (30-minute gap): the streaming engine's
     // session merging vs DuckDB's gaps-and-islands formulation.
     "st02_stream_sessions" -> ((s, d) => {
@@ -699,6 +760,29 @@ object StreamingQueries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM shifted
       GROUP BY 1, 2""",
+
+    // st10 = the batch→stream cutover: backfill ∪ streamed-tail must
+    // equal the gaps-and-islands of the WHOLE table (cutover invisible)
+    "st10_stream_bootstrap_sessions" -> """
+      WITH o AS (
+        SELECT user_id, ts, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events),
+           m AS (
+        SELECT user_id, ts, value,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o)
+      SELECT user_id,
+             CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+             CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM m
+      GROUP BY user_id, session_id""",
 
     // st09 = st08's state machine on the transformWithState API: same
     // gaps-and-islands oracle (session_end = last event; exact cents)
