@@ -631,7 +631,10 @@ object StreamingQueries {
     // cutover must be invisible in the output, which is the property
     // that lets a production pipeline start streaming over 100 TB of
     // history without replaying it. The cut lands at the exact
-    // event-time median, so open sessions genuinely straddle it.
+    // event-time median so open sessions genuinely straddle it — the
+    // median (an exact-quantile pass) is the TEST's deterministic split
+    // device only; a production cutover picks a wall-clock instant and
+    // pays no quantile scan.
     "st10_stream_bootstrap_sessions" -> ((s, d) => {
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       import s.implicits._
