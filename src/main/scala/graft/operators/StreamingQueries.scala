@@ -206,24 +206,62 @@ object StreamingQueries {
       }
   }
 
-  /** Batch half of the bootstrap: fold each key's historical events with
-    * `sessionStep` at the cutover watermark, returning (emitted-final
-    * sessions, per-key open buffers to seed the stream). ONE shuffle
-    * (groupByKey on user) over the history — the shape of a 100 TB
-    * backfill job. */
+  /** Batch half of the bootstrap: fold the history into sessions at the
+    * cutover watermark, returning (emitted-final sessions, per-key open
+    * buffers to seed the stream).
+    *
+    * DECLARATIVE, not mapGroups: a backfill over 100 TB of history
+    * cannot materialize one key's events in executor memory (one bot
+    * user = one OOM), so the gaps-and-islands fold is expressed as a
+    * window (lag → break flags → running session id) + aggregation —
+    * Spark's window sort is external and spills, and the per-session
+    * aggregate is partial→final. The arithmetic is the ORACLE's own:
+    * each value cast to DECIMAL(18,2) (HALF_UP, exactly the
+    * BigDecimal-cents path sessionStep takes) and summed exactly, so
+    * the batch half produces bit-identical session_value to both the
+    * streamed half and DuckDB. Only the OPEN buffers — sessions still
+    * within the watermark horizon, a bounded tail per user — are
+    * collect_list'd into the seed rows. */
   private[graft] def bootstrapSessions(history: org.apache.spark.sql.Dataset[SessEvent],
       gapUs: Long, wmMs: Long)
       : (org.apache.spark.sql.Dataset[SessOut], org.apache.spark.sql.Dataset[(Long, SessBuf)]) = {
     import history.sparkSession.implicits._
-    // localCheckpoint, not cache: eager one-shot materialization whose
-    // blocks the ContextCleaner reclaims when the Dataset goes out of
-    // scope — repeated verify/bench passes must not accumulate
-    // CacheManager entries for a per-run throwaway
-    val folded = history.groupByKey(_.user_id).mapGroups { (user, it) =>
-      val (fin, open, _) = sessionStep(gapUs, Seq.empty, it.toIndexedSeq, wmMs)
-      (user, fin.map(emitSession(user)), SessBuf(open))
-    }.localCheckpoint()
-    (folded.flatMap(_._2), folded.map(t => (t._1, t._3)).filter(_._2.open.nonEmpty))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val sess = history.toDF()
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("brk", when(col("prev_us").isNull ||
+        col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("startUs"), max(col("us")).as("lastUs"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sumDec"))
+      // localCheckpoint, not cache: eager one-shot materialization whose
+      // blocks the ContextCleaner reclaims when the Dataset goes out of
+      // scope — repeated verify/bench passes must not accumulate
+      // CacheManager entries for a per-run throwaway
+      .localCheckpoint()
+    val fin = sess.filter(col("lastUs") + gapUs < wmMs * 1000L)
+      .select(col("user_id"),
+        timestamp_micros(col("startUs")).as("session_start"),
+        timestamp_micros(col("lastUs")).as("session_end"),
+        col("n").as("n_events"),
+        col("sumDec").cast(DoubleType).as("session_value"))
+      .as[SessOut]
+    val seed = sess.filter(col("lastUs") + gapUs >= wmMs * 1000L)
+      .withColumn("cents", (col("sumDec") * 100).cast("long"))
+      .groupBy(col("user_id"))
+      // tuple encoders resolve fields by _N name, hence the aliases
+      .agg(collect_list(struct(col("startUs").as("_1"), col("lastUs").as("_2"),
+        col("n").as("_3"), col("cents").as("_4"))).as("open"))
+      .select(col("user_id").as("_1"), col("open").as("_2"))
+      .as[(Long, Seq[(Long, Long, Long, Long)])]
+      .map { case (user, open) => (user, SessBuf(open.sortBy(_._1)
+        .map(t => SessState(t._1, t._2, t._3, t._4)))) }
+    (fin, seed)
   }
 
   /** Streaming-read the events fixture, converting the `ts` column through
