@@ -222,13 +222,14 @@ object StreamingQueries {
     * streamed half and DuckDB. Only the OPEN buffers — sessions still
     * within the watermark horizon, a bounded tail per user — are
     * collect_list'd into the seed rows. */
-  private[graft] def bootstrapSessions(history: org.apache.spark.sql.Dataset[SessEvent],
-      gapUs: Long, wmMs: Long)
-      : (org.apache.spark.sql.Dataset[SessOut], org.apache.spark.sql.Dataset[(Long, SessBuf)]) = {
-    import history.sparkSession.implicits._
+  /** The backfill's session table as a LAZY plan (split out so
+    * TwsBootstrapSpec can plan-guard it: exactly one Window, no typed
+    * MapGroups — the declarative/spill-safe claim, enforced). */
+  private[graft] def backfillSessions(history: org.apache.spark.sql.Dataset[SessEvent],
+      gapUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("us")
-    val sess = history.toDF()
+    history.toDF()
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("brk", when(col("prev_us").isNull ||
@@ -239,11 +240,17 @@ object StreamingQueries {
       .agg(min(col("us")).as("startUs"), max(col("us")).as("lastUs"),
         count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).as("sumDec"))
-      // localCheckpoint, not cache: eager one-shot materialization whose
-      // blocks the ContextCleaner reclaims when the Dataset goes out of
-      // scope — repeated verify/bench passes must not accumulate
-      // CacheManager entries for a per-run throwaway
-      .localCheckpoint()
+  }
+
+  private[graft] def bootstrapSessions(history: org.apache.spark.sql.Dataset[SessEvent],
+      gapUs: Long, wmMs: Long)
+      : (org.apache.spark.sql.Dataset[SessOut], org.apache.spark.sql.Dataset[(Long, SessBuf)]) = {
+    import history.sparkSession.implicits._
+    // localCheckpoint, not cache: eager one-shot materialization whose
+    // blocks the ContextCleaner reclaims when the Dataset goes out of
+    // scope — repeated verify/bench passes must not accumulate
+    // CacheManager entries for a per-run throwaway
+    val sess = backfillSessions(history, gapUs).localCheckpoint()
     val fin = sess.filter(col("lastUs") + gapUs < wmMs * 1000L)
       .select(col("user_id"),
         timestamp_micros(col("startUs")).as("session_start"),

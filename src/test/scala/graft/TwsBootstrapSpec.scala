@@ -51,6 +51,32 @@ class TwsBootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("backfill plan is declarative: one Window, no typed MapGroups") {
+    val s = spark
+    import s.implicits._
+    val events = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("value")).as[SessEvent]
+    val qe = StreamingQueries.backfillSessions(events, gapUs).queryExecution
+    val physical = qe.executedPlan.toString
+    // the two windows (lag, then the running sum over lag's output) share
+    // one partition+order, so the physical plan must carry exactly ONE
+    // exchange and ONE sort — the second window rides the first's
+    // ordering, and the session aggregate's (user_id, sid) clustering is
+    // satisfied by hashpartitioning(user_id), so no re-shuffle. A typed
+    // MapGroups/AppendColumns node would mean the fold regressed to
+    // materializing a key's events in memory — the hot-key OOM this
+    // backfill shape exists to avoid.
+    def count(p: String, needle: String) = p.sliding(needle.length).count(_ == needle)
+    assert(count(physical, "Exchange") == 1,
+      s"expected exactly one shuffle in the backfill:\n$physical")
+    assert(count(physical, "Sort ") == 1,
+      s"expected exactly one sort in the backfill:\n$physical")
+    assert(!physical.contains("MapGroups") && !physical.contains("AppendColumns"),
+      s"typed per-key materialization crept into the backfill:\n$physical")
+    assert(physical.contains("HashAggregate"),
+      s"missing partial/final session aggregate:\n$physical")
+  }
+
   test("batch-seeded state + streamed tail == one full streaming run") {
     val s = spark
     import s.implicits._
