@@ -16,6 +16,14 @@ object BenchStream {
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // warmup: session startup + FS metadata off the first query's bill
     Tables.load(spark, sfDir, "events").groupBy("event_type").count().count()
+    // harness/query split (VERDICT r9 item 2): the sentineled source dir
+    // (fixture copy + 2 staged sentinel files) is built once per fixture
+    // and reused by every st06/st07/st08/st09 drain — bill it here, as its
+    // own number, so the per-query medians measure the DRAIN (state store,
+    // per-microbatch shuffle, checkpoint commits), not file staging.
+    val tHarness0 = System.nanoTime()
+    operators.StreamingQueries.sentineledSrcDir(spark, sfDir)
+    val harnessSec = (System.nanoTime() - tHarness0) / 1e9
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => SparkEntry.streamingQueries.contains(name) }
     val passes = (1 to 3).map { _ =>
@@ -54,7 +62,12 @@ object BenchStream {
         ",\"spread_s\":" + ms(v.spread) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.med).filter(_ >= 0).sum
-    val line = s"""{"metric":"stream_total","value":${ms(total)},"unit":"sec","method":"median3","queries":$qs,"sf":"$sfDir","detail":$detail}"""
+    // a silently-dropped failure would make the total look FASTER (ADVICE
+    // r9): name the failed queries on the line so a smaller total over
+    // fewer queries cannot read as an improvement
+    val failed = results.collect { case (k, v) if v.med < 0 => "\"" + short(k) + "\"" }
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"stream_total","value":${ms(total)},"unit":"sec","method":"median3","failed":$failed,"harness_prestage_s":${ms(harnessSec)},"queries":$qs,"sf":"$sfDir","detail":$detail}"""
     val out = java.nio.file.Paths.get("target/bench_stream.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,

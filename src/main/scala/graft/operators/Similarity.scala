@@ -61,6 +61,22 @@ object Similarity {
         .write.partitionBy("tbk").mode("overwrite").parquet(dir)
     }
 
+  // The OPENED index, one per (session, index dir): re-opening the
+  // partitioned table per serve re-runs partition discovery over all 512
+  // bucket dirs (~1 s measured at sf0.1 — half the warm serve cost,
+  // VERDICT r9 item 3). A serving process holds its index open; the
+  // cached DataFrame's InMemoryFileIndex holds the listing, and partition
+  // pruning against it is in-memory. Keyed by session identity too:
+  // a DataFrame is unusable from any other session (tests open several).
+  private val lshIndexDfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def lshIndexDf(s: SparkSession, d: String): DataFrame = {
+    val dir = lshIndexDir(s, d)
+    lshIndexDfCache.computeIfAbsent(
+      (System.identityHashCode(s), dir), _ => s.read.parquet(dir))
+  }
+
   /** Train the m per-subspace codebooks on the UNIT-NORMALIZED corpus side
     * (vec_id >= 10 — queries don't train the index). Deterministic: each
     * subspace reuses [[Clustering.trainKMeans]] (fixed seeds, fixed iters,
@@ -92,7 +108,6 @@ object Similarity {
     * column would defeat partition pruning. */
   private[graft] def serveLshTopK(s: SparkSession, d: String,
       queryVecs: DataFrame): DataFrame = {
-    val dir = lshIndexDir(s, d)
     val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val probes = queryVecs
       .select(col("vec_id").as("q_id"),
@@ -101,7 +116,7 @@ object Similarity {
       .select(col("q_id"), col("tbk0").cast("int").as("tbk"))
     val probeKeys = probes.select(col("tbk")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val index = s.read.parquet(dir)
+    val index = lshIndexDf(s, d)
       .filter(col("tbk").isin(probeKeys.toIndexedSeq.map(Int.box): _*))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))

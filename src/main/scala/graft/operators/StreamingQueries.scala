@@ -289,17 +289,35 @@ object StreamingQueries {
     * the memory-sink temp view are torn down before returning (the sink's
     * rows live on the driver either way), so repeated verify/bench runs
     * don't accumulate /tmp state or driver memory. */
+  // State fan-out for the drains. A stateful microbatch pays a fixed cost
+  // PER STATE PARTITION per batch (store open + delta commit + rename — a
+  // stream-stream join alone keeps 4 stores per partition), so the
+  // session's batch-sized 32 shuffle partitions bill ~160 store commits
+  // per microbatch to queries whose whole state fits in a few MB. Sizing
+  // state partitions to the load is exactly what a production streaming
+  // job does (the knob is baked into the checkpoint at first start, which
+  // is why it is scoped per drain here and not left to the session
+  // default). Results are partition-count invariant — the oracle gate and
+  // RocksDbStateSpec's provider-invariance run on the same drains.
+  private val StreamShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+
   private def drain(s: SparkSession, df: DataFrame,
       mode: String = "complete"): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsKey)
+    s.conf.set(partsKey, StreamShufflePartitions)
+    val q = try {
+      df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set(partsKey, prevParts) // picked up at query START; restore at once
     q.awaitTermination()
     val sink = s.table(name)
     val rows = sink.collect()
@@ -445,17 +463,23 @@ object StreamingQueries {
     drainWithSentinels(s, d)(clickPurchaseJoin(_, "left_outer"))
       .filter(col("a_user") >= 0)
 
-  /** Build the sentineled event stream (fixture + two far-future sentinel
-    * microbatches that advance the watermark past the tail — see st06's
-    * Scaladoc), apply `build`, drain append-mode, clean up the staging
-    * dir. Sentinel rows carry negative user/event ids (one 'click' + one
-    * 'purchase' per sentinel file so every filtered substream's watermark
-    * advances) — callers filter them from the drained output. */
-  private[graft] def drainWithSentinels(s: SparkSession, d: String)
-      (build: DataFrame => DataFrame): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val srcDir = Files.createTempDirectory("graft-st06-src")
-    try {
+  // One staged sentineled source dir per fixture: the staging writes are
+  // an indexing cost, not a per-drain cost (VERDICT r9 item 2 measured
+  // re-staging at ~35% of the streaming lane's wall — st06/st07 alone re-
+  // wrote the same three files nine times across the bench passes).
+  private val sentinelSrcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Staged source dir for `d`'s sentineled event stream — the fixture
+    * file plus two far-future sentinel microbatch files — built ONCE per
+    * fixture dir and reused by every drain over it. Safe to share: each
+    * drain runs from a fresh checkpoint, and the staged files keep fixed
+    * mtimes, so listing order (= microbatch order under
+    * maxFilesPerTrigger=1) is identical for every reader. */
+  private[graft] def sentineledSrcDir(s: SparkSession, d: String): String =
+    Materialized.dir(sentinelSrcCache, "graft-stsrc", d) { dirStr =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val srcDir = Paths.get(dirStr)
       val fixture = srcDir.resolve("events.parquet")
       Files.copy(Paths.get(s"$d/events.parquet"), fixture,
         StandardCopyOption.REPLACE_EXISTING)
@@ -492,14 +516,26 @@ object StreamingQueries {
       val t0 = Files.getLastModifiedTime(fixture).toMillis
       writeSentinel("sentinel1.parquet", "2030-01-01T00:00:00Z", t0 + 60000)
       writeSentinel("sentinel2.parquet", "2030-02-01T00:00:00Z", t0 + 120000)
-      val src = Tables.normalizeEventsTs(s.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir.toString))
-      drain(s, build(src), mode = "append")
-    } finally {
-      // the drain is synchronous; the staged source dir can go at once
-      org.apache.commons.io.FileUtils.deleteQuietly(srcDir.toFile)
     }
+
+  /** Build the sentineled event stream (fixture + two far-future sentinel
+    * microbatches that advance the watermark past the tail — see st06's
+    * Scaladoc), apply `build`, drain append-mode. Sentinel rows carry
+    * negative user/event ids (one 'click' + one 'purchase' per sentinel
+    * file so every filtered substream's watermark advances) — callers
+    * filter them from the drained output. The staged dir is memoized per
+    * fixture ([[sentineledSrcDir]]); Materialized's shutdown hook owns
+    * its cleanup. */
+  private[graft] def drainWithSentinels(s: SparkSession, d: String)
+      (build: DataFrame => DataFrame): DataFrame = {
+    val srcDir = sentineledSrcDir(s, d)
+    // schema from the staged fixture copy, not `d` — a caller may stage a
+    // transient dir (st10's tail) and the memoized copy must outlive it
+    val rawSchema = s.read.parquet(s"$srcDir/events.parquet").schema
+    val src = Tables.normalizeEventsTs(s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir))
+    drain(s, build(src), mode = "append")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
