@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      plugin: Boolean = !sys.env.contains("SPARK_GRAFT_NO_PLUGIN"))
       : SparkSession.Builder = {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,8 +43,9 @@ object GraftSession {
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     // Run every shuffle through the cloud shuffle plugin (the engine's
     // core): file:// stands in for the object store locally, exactly as
-    // the reference's own tests do. SPARK_GRAFT_NO_PLUGIN=1 opts out.
-    if (!sys.env.contains("SPARK_GRAFT_NO_PLUGIN")) {
+    // the reference's own tests do. SPARK_GRAFT_NO_PLUGIN=1 (or
+    // plugin=false — Bench's A/B lane) opts out.
+    if (plugin) {
       b.config("spark.shuffle.manager",
           "org.apache.spark.shuffle.cloud.CloudShuffleManager")
         .config("spark.shuffle.sort.io.plugin.class",
@@ -55,8 +57,9 @@ object GraftSession {
     b
   }
 
-  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
-    val spark = builder(cpus).getOrCreate()
+  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      plugin: Boolean = !sys.env.contains("SPARK_GRAFT_NO_PLUGIN")): SparkSession = {
+    val spark = builder(cpus, plugin).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
