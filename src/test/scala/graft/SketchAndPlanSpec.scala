@@ -74,6 +74,35 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q38: one Expand, partial→final rollup agg, rank-limit pushed, part broadcast") {
+    // the q67-shaped heaviest relational row (VERDICT r9 item 5): rollup +
+    // rank + limit. The plan this guards: ONE Expand feeding a partial→
+    // final hash aggregate (one shuffle), the rank-5 filter pushed down as
+    // Partial+Final WindowGroupLimit around the window's single exchange
+    // (top-5 per group survives the shuffle, not every group row), and the
+    // part dimension broadcast — two shuffles total for a rollup + ranked
+    // window. Typed node collects, so a Spark version string change can't
+    // flip it silently.
+    import org.apache.spark.sql.execution
+    val flatNodes = flattenPlan(SparkEntry.queries("q38_rollup_rank")(spark, sf)
+      .queryExecution.executedPlan)
+    def names = flatNodes.map(_.nodeName).mkString(", ")
+    assert(flatNodes.count(_.isInstanceOf[execution.ExpandExec]) == 1,
+      s"rollup must plan exactly one Expand: $names")
+    assert(flatNodes.count(
+      _.isInstanceOf[execution.aggregate.HashAggregateExec]) == 2,
+      s"expected partial+final rollup aggregate: $names")
+    assert(flatNodes.count(
+      _.isInstanceOf[execution.window.WindowGroupLimitExec]) == 2,
+      s"rank<=5 must push down as Partial+Final WindowGroupLimit: $names")
+    assert(flatNodes.count(
+      _.isInstanceOf[execution.joins.BroadcastHashJoinExec]) == 1,
+      s"part dimension must broadcast: $names")
+    assert(flatNodes.count(
+      _.isInstanceOf[execution.exchange.ShuffleExchangeExec]) == 2,
+      s"exactly two shuffles (rollup agg, window partition): $names")
+  }
+
   test("q03: dimension joins broadcast, top-k is TakeOrdered") {
     val p = plan("q03_top_orders")
     assert(p.contains("BroadcastHashJoin"), p)

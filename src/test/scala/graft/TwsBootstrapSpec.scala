@@ -57,24 +57,38 @@ class TwsBootstrapSpec extends AnyFunSuite with BeforeAndAfterAll {
     val events = Tables.load(spark, sf, "events")
       .select(col("user_id"), col("ts"), col("value")).as[SessEvent]
     val qe = StreamingQueries.backfillSessions(events, gapUs).queryExecution
-    val physical = qe.executedPlan.toString
     // the two windows (lag, then the running sum over lag's output) share
     // one partition+order, so the physical plan must carry exactly ONE
-    // exchange and ONE sort — the second window rides the first's
+    // shuffle exchange and ONE sort — the second window rides the first's
     // ordering, and the session aggregate's (user_id, sid) clustering is
     // satisfied by hashpartitioning(user_id), so no re-shuffle. A typed
     // MapGroups/AppendColumns node would mean the fold regressed to
     // materializing a key's events in memory — the hot-key OOM this
-    // backfill shape exists to avoid.
-    def count(p: String, needle: String) = p.sliding(needle.length).count(_ == needle)
-    assert(count(physical, "Exchange") == 1,
-      s"expected exactly one shuffle in the backfill:\n$physical")
-    assert(count(physical, "Sort ") == 1,
-      s"expected exactly one sort in the backfill:\n$physical")
-    assert(!physical.contains("MapGroups") && !physical.contains("AppendColumns"),
-      s"typed per-key materialization crept into the backfill:\n$physical")
-    assert(physical.contains("HashAggregate"),
-      s"missing partial/final session aggregate:\n$physical")
+    // backfill shape exists to avoid. Typed node collects, not substring
+    // counts (ADVICE r9): "Exchange" also matched BroadcastExchange /
+    // ShuffleQueryStage node names, so an AQE replan or a version string
+    // change could flip the guard without a real regression.
+    def flat(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flat(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flat(q.plan)
+      case other => other.children.flatMap(flat)
+    })
+    val nodes = flat(qe.executedPlan)
+    def names = nodes.map(_.nodeName).mkString(", ")
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) == 1,
+      s"expected exactly one shuffle in the backfill: $names")
+    assert(nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]) == 1,
+      s"expected exactly one sort in the backfill: $names")
+    assert(!nodes.exists(n => n.isInstanceOf[org.apache.spark.sql.execution.MapGroupsExec]
+        || n.isInstanceOf[org.apache.spark.sql.execution.AppendColumnsExec]),
+      s"typed per-key materialization crept into the backfill: $names")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      s"missing partial/final session aggregate: $names")
   }
 
   test("batch-seeded state + streamed tail == one full streaming run") {
