@@ -61,6 +61,16 @@ object GraftSession {
       plugin: Boolean = !sys.env.contains("SPARK_GRAFT_NO_PLUGIN")): SparkSession = {
     val spark = builder(cpus, plugin).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench/Verify re-invoke queries that persist() their intermediates
+    // (dd04's group table et al.); the second pass re-registers the same
+    // plan and CacheManager warns "Asked to cache already cached data" —
+    // ~10 repeats of pure noise in the bench tail the driver captures
+    // (VERDICT r9 docs-hygiene item). The warning never indicates a
+    // defect here (re-caching an identical plan is a no-op), so demote
+    // that ONE logger; everything else stays at WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }
