@@ -67,7 +67,24 @@ object BenchStream {
     // fewer queries cannot read as an improvement
     val failed = results.collect { case (k, v) if v.med < 0 => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"stream_total","value":${ms(total)},"unit":"sec","method":"median3","failed":$failed,"harness_prestage_s":${ms(harnessSec)},"queries":$qs,"sf":"$sfDir","detail":$detail}"""
+    // the sf1 column (VERDICT r9 item 1): one single-run pass over the
+    // derived ×10 tier (tools.StreamScaleProbe's disjoint-user events
+    // replication), so the committed snapshot carries the decade-step
+    // next to the sf0.01 medians. SPARK_GRAFT_STREAM_SF1=0 skips it.
+    val sf1Part = if (sys.env.getOrElse("SPARK_GRAFT_STREAM_SF1", "1") == "0") ""
+      else {
+        val dir1 = tools.StreamScaleProbe.ensureBuilt(spark)
+        val col1 = ordered.map { case (name, fn) =>
+          System.gc()
+          val t0 = System.nanoTime()
+          val sec = try { fn(spark, dir1).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case t: Throwable =>
+              System.err.println(s"BENCH_STREAM sf1 FAIL $name: ${t.getMessage}"); -1.0 }
+          "\"" + short(name) + "\":" + ms(sec)
+        }.mkString("{", ",", "}")
+        s""","sf1_dir":"$dir1","queries_sf1":$col1"""
+      }
+    val line = s"""{"metric":"stream_total","value":${ms(total)},"unit":"sec","method":"median3","failed":$failed,"harness_prestage_s":${ms(harnessSec)},"queries":$qs,"sf":"$sfDir"$sf1Part,"detail":$detail}"""
     val out = java.nio.file.Paths.get("target/bench_stream.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,

@@ -41,9 +41,11 @@ object StreamScaleProbe {
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * stride)))
     }.reduce(_ unionAll _)
 
-  private def build(s: SparkSession): Unit = {
+  /** Build (once) and return the derived sf1 streaming tier dir — also
+    * the source of BenchStream's sf1 column. */
+  private[graft] def ensureBuilt(s: SparkSession): String = {
     val done = new java.io.File(s"$Dst/_built")
-    if (done.exists()) return
+    if (done.exists()) return Dst
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(Dst))
     val stride = 100000000L
     val t0 = System.currentTimeMillis()
@@ -56,13 +58,13 @@ object StreamScaleProbe {
       Seq("doc_id"), stride))
     stage("embeddings", Tables.load(s, Src, "embeddings"))
     done.createNewFile()
-    ()
+    Dst
   }
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val tap = new ShuffleMetricsTap(spark.sparkContext)
-    build(spark)
+    ensureBuilt(spark)
     // per-query streaming progress census: microbatches seen, peak total
     // state rows and peak state memory across the drain's batches
     val lock = new Object
