@@ -119,12 +119,18 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
 
   // --- worker pool --------------------------------------------------------
   private val activeWorkers = new AtomicInteger(0)
-  private val workers = (0 until env.maxConcurrencyTask).map { i =>
+  // never start more workers than there are blocks: a 2-block reduce task
+  // has no use for the other maxConcurrencyTask-2 threads, and their
+  // create-then-immediately-return churn was a measurable slice of the
+  // per-task fixed cost on tiny shuffles (tools/OverheadProfile, r10).
+  // Semantics-preserving: a worker beyond `total` can never claim an
+  // index, and the adaptive target only matters up to `total` workers.
+  private val workers = (0 until math.min(env.maxConcurrencyTask, total)).map { i =>
     val t = new Thread(() => workLoop(i), s"cloud-shuffle-prefetch-$i")
     t.setDaemon(true)
     t
   }
-  if (total > 0) workers.foreach(_.start())
+  workers.foreach(_.start())
 
   private def workLoop(workerId: Int): Unit = {
     while (true) {

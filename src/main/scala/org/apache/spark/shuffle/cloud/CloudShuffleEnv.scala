@@ -103,7 +103,35 @@ final class CloudShuffleEnv(val conf: SparkConf, val appId: String) extends Logg
     conf.getBoolean(ALWAYS_INDEX_KEY, defaultValue = false) || !useDriverTracker
 
   private val hadoopConf = SparkHadoopUtil.get.newConfiguration(conf)
-  val fs: FileSystem = FileSystem.get(URI.create(rootDir), hadoopConf)
+  // Hadoop streams default to io.file.buffer.size = 4 KB — every store
+  // read/write becomes 8× the syscalls of Spark's own 32 KB shuffle
+  // buffers. Respect an explicit setting; otherwise raise to 128 KB
+  // (object-store sweet spot, and measured ~2× shuffle-write time on
+  // throughput-bound local writes at 4 KB).
+  if (hadoopConf.get("io.file.buffer.size") == null ||
+      hadoopConf.getInt("io.file.buffer.size", 4096) == 4096)
+    hadoopConf.setInt("io.file.buffer.size", 131072)
+  val fs: FileSystem = {
+    // newInstance, NOT get: FileSystem.get returns a JVM-cached instance
+    // shared with every other file:// user (Spark's parquet committers,
+    // dd14's compactIndex), and the checksum/buffer settings below must
+    // not leak into their writes — the FS cache key ignores the conf, so
+    // mutating the cached instance would change behavior for the whole
+    // JVM depending on who initialized it first.
+    val f = FileSystem.newInstance(URI.create(rootDir), hadoopConf)
+    // Hadoop's `file://` FS is a ChecksumFileSystem: every create ALSO
+    // writes a .crc sidecar (a second file create + CRC32 over every
+    // byte) and every open stats the sidecar first. That layer is pure
+    // duplication here — the plugin carries its own integrity checks
+    // (Spark's checksum file format, validated streaming-side in
+    // CloudBlockStream) — and it showed up as the A/B lane's overhead
+    // tail: shuffle WRITE time ~10× the default manager's on small
+    // shuffles (tools/OverheadProfile, r10). Object-store FSs (s3a)
+    // implement both calls as no-ops, so this only changes local runs.
+    f.setWriteChecksum(false)
+    f.setVerifyChecksum(false)
+    f
+  }
   val isLocalFs: Boolean = URI.create(rootDir).getScheme == "file"
 
   /** (shuffleId, mapId) coordinates of any supported shuffle block. */
@@ -235,6 +263,9 @@ object CloudShuffleEnv extends Logging {
       val conf = Option(SparkEnv.get).map(_.conf).getOrElse(new SparkConf())
       val appId = wantApp2.getOrElse(
         throw new IllegalStateException("cloud shuffle: no app id available yet"))
+      // the FS is a private newInstance (not the JVM-cached one) — close
+      // the replaced env's handle instead of leaking it per context
+      if (cur2 != null) try cur2.fs.close() catch { case _: Exception => }
       instance = new CloudShuffleEnv(conf, appId)
       CloudShuffleIndex.purgeAll()
       logInfo(s"cloud shuffle env for app $appId rooted at ${instance.rootDir}")
@@ -247,6 +278,7 @@ object CloudShuffleEnv extends Logging {
 
   /** Test hook: drop the singleton so a new SparkContext re-creates it. */
   def reset(): Unit = synchronized {
+    if (instance != null) try instance.fs.close() catch { case _: Exception => }
     instance = null
     CloudShuffleIndex.purgeAll()
   }

@@ -523,6 +523,24 @@ class CloudShuffleSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("plugin uses a private FileSystem instance, not the JVM-cached one") {
+    // the env disables Hadoop write/verify checksums and raises the
+    // stream buffer size on ITS store FS (r10 A/B overhead fix); the
+    // FileSystem cache keys on (scheme, authority, ugi) only, so if the
+    // env ever went back to FileSystem.get those mutations would leak
+    // into every other file:// user in the JVM (Spark's parquet
+    // committers, dd14's compactIndex — whose .crc sidecar invariants
+    // SketchAndPlanSpec asserts) in suite-order-dependent ways.
+    withSc(baseConf()) { sc =>
+      sc.parallelize(0 until 100, 2).map(i => (i % 5, i)).reduceByKey(_ + _).count()
+      val env = CloudShuffleEnv.get()
+      val cached = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(env.rootDir), sc.hadoopConfiguration)
+      assert(env.fs ne cached,
+        "plugin FS must be a FileSystem.newInstance, never the JVM-cached FileSystem.get")
+    }
+  }
+
   test("unregisterShuffle removes objects from the store") {
     val conf = baseConf()
     val root = conf.get("spark.shuffle.cloud.rootDir")
