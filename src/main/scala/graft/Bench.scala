@@ -84,10 +84,6 @@ object Bench {
       "shortened bench keys must stay unique")
 
     // LANE 1 (the headline): every shuffle through the cloud plugin.
-    val sparkPlugin = GraftSession.get(cpus)
-    val plugin = runLane(sparkPlugin, sfDir, ordered)
-    sparkPlugin.stop()
-
     // LANE 2 — the reference's own comparative protocol
     // (examples/run_benchmarks.sh benches S3 shuffle AGAINST local-disk
     // shuffle; a plugin number without the default-manager column answers
@@ -96,15 +92,30 @@ object Bench {
     // file:// store the expected envelope is ~1× — a sustained divergence
     // exposes a plugin inefficiency no correctness test can see.
     // SPARK_GRAFT_AB=0 skips the lane (halves bench wall time).
+    //
+    // Both lanes share one JVM, so whichever lane runs SECOND gets fully
+    // JIT-compiled code (the codec-heavy mm* queries are CPU-bound and
+    // most sensitive). Default order runs the plugin lane first — the
+    // conservative direction: any JIT bias inflates the reported plugin
+    // overhead, never hides it. SPARK_GRAFT_AB_ORDER=default-first swaps
+    // the lanes to bound the bias; the order rides on the JSON line.
     val ab = sys.env.getOrElse("SPARK_GRAFT_AB", "1") != "0"
-    val default: Map[String, Stat] = if (!ab) Map.empty else {
+    val abOrder = sys.env.getOrElse("SPARK_GRAFT_AB_ORDER", "plugin-first")
+    def lane(usePlugin: Boolean): Map[String, Stat] = {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      val sparkDefault = GraftSession.get(cpus, plugin = false)
-      val r = runLane(sparkDefault, sfDir, ordered)
-      sparkDefault.stop()
+      val spark = GraftSession.get(cpus, plugin = usePlugin)
+      val r = runLane(spark, sfDir, ordered)
+      spark.stop()
       r
     }
+    val (plugin, default) =
+      if (!ab) (lane(usePlugin = true), Map.empty[String, Stat])
+      else if (abOrder == "default-first") {
+        val d = lane(usePlugin = false); (lane(usePlugin = true), d)
+      } else {
+        val p = lane(usePlugin = true); (p, lane(usePlugin = false))
+      }
 
     val qs = plugin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + short(k) + "\":" + ms(v.med) }
@@ -124,7 +135,7 @@ object Bench {
       val medR = rs(rs.size / 2)
       val p90 = rs(math.min(rs.size - 1, (rs.size * 9) / 10))
       val defTotal = default.values.map(_.med).filter(_ >= 0).sum
-      s""","default_total":${ms(defTotal)},"plugin_overhead_med":${ms(medR)},"plugin_overhead_p90":${ms(p90)}"""
+      s""","default_total":${ms(defTotal)},"plugin_overhead_med":${ms(medR)},"plugin_overhead_p90":${ms(p90)},"ab_order":"$abOrder""""
     }
     // "method" rides on the stdout line: the driver's parsed copy is the
     // only artifact some readers see, and without the marker the
