@@ -676,6 +676,61 @@ object Dedup {
           VectorOps.cosineD(col("a_v"), col("b_v")).as("cos"))
         .filter(col("cos") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // EXACT-SUBSTRING dedup coverage — the SPAN-level tier of the dedup
+    // family (Lee et al. 2022's ExactSubstr: a training corpus is cleaned
+    // of repeated *passages*, not just repeated documents — dd01/dd04
+    // catch whole-doc copies, this catches the quoted paragraph inside an
+    // otherwise novel doc). A k-token window (k=8 on the 10-99-token
+    // fixtures; production uses ~50) is "duplicated" when its fingerprint
+    // occurs >= 2 times across the whole corpus, within-doc repeats
+    // included; a token position is duplicated when ANY window covering
+    // it is. Emits the per-doc audit row a span-removal pass consumes:
+    // window count, covered-token count, coverage ratio.
+    //
+    // Scale design: window fingerprints travel as 64-bit md5-prefix keys
+    // (pp05's ids-only discipline) — one row per window occurrence, so
+    // the wide work is one hash agg + one join on the gram key, both
+    // linear in corpus tokens. The join is UNHINTED (tx10's discipline:
+    // the gram dictionary is corpus-sized — AQE broadcasts it only while
+    // small). Covered positions are NOT exploded k× per window: the
+    // interval union [p, p+k-1] is a per-doc sort + linear fold
+    // (sorted-starts merge: each window adds min(k, gap) tokens), a
+    // per-doc-bounded collect_list — the doc fits in memory by
+    // definition. The DuckDB oracle explodes positions and counts
+    // DISTINCT — an independent algorithm proving the fold.
+    "dd16_substr_dedup" -> ((s, d) => {
+      val k = 8
+      val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n_tokens"))
+      val wins = t.filter(size(col("toks")) >= k)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(toks) - ${k - 1}), i -> named_struct(" +
+            s"'p', i, " +
+            s"'h', substring(md5(cast(array_join(slice(toks, i, $k), ' ') AS binary)), 1, 16)))"))
+          .as("w"))
+        .select(col("doc_id"), col("w.p").as("p"), col("w.h").as("h"))
+      val cnt = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      val dup = wins.join(cnt, "h").filter(col("cnt") >= 2)
+      val perDoc = dup.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_windows"),
+          sort_array(collect_list(col("p"))).as("ps"))
+        .select(col("doc_id"), col("n_dup_windows"),
+          aggregate(col("ps"),
+            struct(lit(-1000000).as("prev"), lit(0L).as("cov")),
+            (st, p) => struct(p.as("prev"),
+              (st.getField("cov") + least(lit(k.toLong),
+                (p - st.getField("prev")).cast("long"))).as("cov")),
+            st => st.getField("cov")).as("covered_tokens"))
+      t.select(col("doc_id"), col("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+            / col("n_tokens"), 6).as("dup_coverage"))
     })
   )
 
@@ -943,6 +998,31 @@ object Dedup {
       comp AS (SELECT node AS rep_id, MIN(reach) AS comp_id FROM r GROUP BY node)"""
 
   val oracles: Map[String, String] = Map(
+    // independent algorithm for the coverage: explode every duplicated
+    // window into its k covered positions and COUNT DISTINCT, vs the
+    // Spark side's sorted-starts interval-union fold
+    "dd16_substr_dedup" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           n AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens FROM t),
+           w AS (SELECT doc_id, i AS p,
+                        substring(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS h
+                 FROM t, UNNEST(range(1, LEN(toks) - 6)) AS u(i)),
+           c AS (SELECT h, COUNT(*) AS cnt FROM w GROUP BY h),
+           dup AS (SELECT w.doc_id, w.p FROM w JOIN c USING (h) WHERE c.cnt >= 2),
+           percov AS (
+             SELECT doc_id, CAST(COUNT(DISTINCT pos) AS BIGINT) AS covered_tokens
+             FROM dup, UNNEST(range(p, p + 8)) AS v(pos)
+             GROUP BY doc_id),
+           perdup AS (
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+             FROM dup GROUP BY doc_id)
+      SELECT n.doc_id, n.n_tokens,
+             COALESCE(perdup.n_dup_windows, 0) AS n_dup_windows,
+             COALESCE(percov.covered_tokens, 0) AS covered_tokens,
+             ROUND(CAST(COALESCE(percov.covered_tokens, 0) AS DOUBLE)
+                   / n.n_tokens, 6) AS dup_coverage
+      FROM n LEFT JOIN perdup USING (doc_id) LEFT JOIN percov USING (doc_id)""",
+
     "dd11_tokenset_dedup" -> """
       WITH c AS (
         SELECT doc_id,

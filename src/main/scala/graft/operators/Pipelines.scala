@@ -221,6 +221,39 @@ object Pipelines {
             sum(col("kept_tokens")).over(Window.partitionBy()), 6))
     }),
 
+    // RAG/RETRIEVAL CHUNKING — the step between a cleaned corpus and the
+    // embedding table: chop each document's token stream into fixed-size
+    // chunks (C = 64 tokens) with overlap (stride S = 48, so consecutive
+    // chunks share 16 tokens — retrieval context continuity), the
+    // standard chunker every retrieval pipeline runs before embedding.
+    // Emits the chunk manifest an embedding job consumes: (doc_id,
+    // chunk_id, start token, chunk length, 64-bit chunk fingerprint for
+    // chunk-level dedup). Chunk count per doc is 1 + ceil(max(n-C,0)/S)
+    // — full coverage, last chunk may run short, never empty.
+    //
+    // Scale design: ZERO shuffle — the whole operator is a map-side
+    // explode of per-doc start offsets (integer arithmetic only; the
+    // ceil is the exact integer form (n-C+S-1) DIV S, no float). Chunk
+    // identity is the md5-prefix of the joined slice (engine-portable:
+    // the DuckDB oracle runs the identical hash), so downstream
+    // chunk-level dedup joins on 64-bit keys, never on chunk text. At
+    // 100 TB this is a pure scan whose output is ~n/S rows per doc.
+    "pp07_chunk_overlap" -> ((s, d) => {
+      val C = 64; val S = 48
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"), col("toks"),
+          size(col("toks")).as("n"),
+          explode(expr(s"sequence(0, CASE WHEN size(toks) > $C " +
+            s"THEN (size(toks) - $C + ${S - 1}) DIV $S ELSE 0 END)")).as("j"))
+        .select(col("doc_id"), col("source"),
+          col("j").cast("long").as("chunk_id"),
+          (col("j") * S + 1).cast("long").as("start_tok"),
+          least(lit(C), col("n") - col("j") * S).cast("long").as("chunk_tokens"),
+          expr(s"substring(md5(cast(array_join(slice(toks, j * $S + 1, $C), ' ') " +
+            "AS binary)), 1, 16)").as("chunk_fp"))
+    }),
+
     // corpus prep: exact-dedup (keep lowest doc_id per content
     // fingerprint) → quality gate → 80/10/10 md5-rank split → per-split
     // stats over the SURVIVING corpus
@@ -306,6 +339,25 @@ object Pipelines {
              CAST(COALESCE(hits, 0) > 0 AS INT) AS contaminated
       FROM (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0) d
       LEFT JOIN hits USING (doc_id)""",
+
+    // identical integer arithmetic and identical md5-prefix chunk hash —
+    // the chunk boundaries and fingerprints must agree byte-for-byte
+    "pp07_chunk_overlap" -> """
+      WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+           c AS (
+        SELECT doc_id, source, toks, LEN(toks) AS n,
+               UNNEST(range(0, 1 + CASE WHEN LEN(toks) > 64
+                                        THEN (LEN(toks) - 64 + 47) // 48
+                                        ELSE 0 END)) AS j
+        FROM t)
+      SELECT doc_id, source,
+             CAST(j AS BIGINT) AS chunk_id,
+             CAST(j * 48 + 1 AS BIGINT) AS start_tok,
+             CAST(LEAST(64, n - j * 48) AS BIGINT) AS chunk_tokens,
+             substring(md5(array_to_string(toks[j*48 + 1 : j*48 + 64], ' ')), 1, 16)
+               AS chunk_fp
+      FROM c""",
 
     "pp06_mixture_sample" -> """
       WITH t AS (

@@ -193,6 +193,48 @@ object TextAnalysis {
     // co-partitions with the aggregation's exchange, and AQE still
     // broadcasts when the dictionary happens to be small) → per-doc
     // integer sums → global top-k (TakeOrderedAndProject). Linear.
+    // LM COVERAGE SCORING — the CCNet/KenLM-shaped quality tier: score
+    // held-out documents against n-gram statistics TRAINED on a reference
+    // corpus (here the deterministic doc_id % 10 != 0 slice; production
+    // swaps in Wikipedia). A fluent in-domain doc has high unigram
+    // coverage (its tokens exist in the reference vocabulary) and high
+    // bigram coverage (its transitions were seen in reference text);
+    // gibberish and out-of-domain text score low on the second even when
+    // the first is high — the signal CCNet's perplexity filter extracts,
+    // here in exact-integer form (known-gram counts + one final division,
+    // the tx06/tx08 rational-scoring discipline — no log(), which is only
+    // 1-ulp accurate and breaks cross-engine hash equality).
+    //
+    // Scale design: the reference vocab and bigram dictionaries are
+    // corpus-sized — both joins UNHINTED (tx10's discipline: AQE
+    // broadcasts them while small, hash-shuffles on the gram key at 100
+    // TB). Everything else is map-side explode + per-doc integer sums;
+    // linear at any scale.
+    "tx11_lm_coverage" -> ((s, d) => {
+      val bg = org.apache.spark.sql.graft.TextSignatures.bigrams _
+      val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("ws"))
+      val train = t.filter(col("doc_id") % 10 =!= 0)
+      val test = t.filter(col("doc_id") % 10 === 0)
+      val vocab = train.select(explode(col("ws")).as("tok")).distinct()
+        .withColumn("kt", lit(1L))
+      val trainBg = train.select(explode(bg(col("ws"))).as("bg")).distinct()
+        .withColumn("kb", lit(1L))
+      val tokStats = test.select(col("doc_id"), explode(col("ws")).as("tok"))
+        .join(vocab, Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(coalesce(col("kt"), lit(0L))).as("known_tok"))
+      val bgStats = test.select(col("doc_id"), explode(bg(col("ws"))).as("bg"))
+        .join(trainBg, Seq("bg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"),
+          sum(coalesce(col("kb"), lit(0L))).as("known_bg"))
+      tokStats.join(bgStats, "doc_id")
+        .select(col("doc_id"), col("n_tok").as("n_tokens"),
+          round(col("known_tok").cast("double") / col("n_tok"), 6).as("token_cov"),
+          round(col("known_bg").cast("double") / col("n_bg"), 6).as("bigram_cov"))
+    }),
+
     "tx10_boilerplate" -> ((s, d) => {
       val bgs = docs(s, d)
         .select(col("source"), col("doc_id"),
@@ -263,6 +305,34 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same split, same gram equivalence classes (space-joined bigrams over
+    // space-split tokens are injective — tokens cannot contain spaces),
+    // same integer sums + single final rounded division
+    "tx11_lm_coverage" -> """
+      WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           tr AS (SELECT ws FROM sp WHERE doc_id % 10 <> 0),
+           te AS (SELECT doc_id, ws FROM sp WHERE doc_id % 10 = 0),
+           vocab AS (SELECT DISTINCT UNNEST(ws) AS tok FROM tr),
+           trbg AS (SELECT DISTINCT UNNEST(list_transform(range(2, LEN(ws) + 1),
+                      i -> ws[i - 1] || ' ' || ws[i])) AS bg FROM tr),
+           tetok AS (SELECT doc_id, UNNEST(ws) AS tok FROM te),
+           tebg AS (SELECT doc_id, UNNEST(list_transform(range(2, LEN(ws) + 1),
+                      i -> ws[i - 1] || ' ' || ws[i])) AS bg FROM te),
+           ts AS (SELECT t.doc_id, COUNT(*) AS n_tok,
+                         CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS known_tok
+                  FROM tetok t LEFT JOIN vocab v ON t.tok = v.tok
+                  GROUP BY t.doc_id),
+           bs AS (SELECT t.doc_id, COUNT(*) AS n_bg,
+                         CAST(SUM(CASE WHEN b.bg IS NOT NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS known_bg
+                  FROM tebg t LEFT JOIN trbg b ON t.bg = b.bg
+                  GROUP BY t.doc_id)
+      SELECT ts.doc_id, CAST(ts.n_tok AS BIGINT) AS n_tokens,
+             ROUND(CAST(known_tok AS DOUBLE) / ts.n_tok, 6) AS token_cov,
+             ROUND(CAST(known_bg AS DOUBLE) / bs.n_bg, 6) AS bigram_cov
+      FROM ts JOIN bs ON ts.doc_id = bs.doc_id""",
+
     // independent algorithm: explode + per-(doc,token) counts vs the Spark
     // side's map-only run-length fold — same integers either way
     "tx09_repetition" -> """

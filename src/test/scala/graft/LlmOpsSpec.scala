@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent brute-force cross-checks for the round-10 pipeline ops
+  * (dd16 exact-substring coverage, pp07 chunking, tx11 LM coverage): each
+  * query's distributed plan is re-computed in plain single-threaded Scala
+  * from the raw fixture and compared row-for-row — a second algorithm on a
+  * second engine-free path, on top of the driver's DuckDB oracle.
+  */
+class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    org.apache.spark.shuffle.cloud.CloudShuffleEnv.reset()
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("llm-ops-spec")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // split-with-limit -1 matches Spark's split(text, " ") on empty tails
+  private def docTokens(): Map[Long, Array[String]] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+
+  private def md5Prefix16(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+
+  test("dd16 substring coverage equals a single-threaded brute force") {
+    val k = 8
+    val toks = docTokens()
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    val wins = toks.view.mapValues { ts =>
+      if (ts.length < k) Array.empty[String]
+      else (0 to ts.length - k).map(i => ts.slice(i, i + k).mkString(" ")).toArray
+    }.toMap
+    wins.values.foreach(_.foreach(g => counts(g) = counts.getOrElse(g, 0) + 1))
+    val expected = toks.map { case (id, ts) =>
+      val dupPs = wins(id).zipWithIndex.collect {
+        case (g, i) if counts(g) >= 2 => i + 1 // 1-based
+      }
+      val covered = dupPs.foldLeft((Int.MinValue / 2, 0L)) { case ((prev, cov), p) =>
+        (p, cov + math.min(k.toLong, (p - prev).toLong))
+      }._2
+      id -> ((ts.length.toLong, dupPs.length.toLong, covered))
+    }
+    val got = SparkEntry.queries("dd16_substr_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, nw, cov)) =>
+      val (gn, gnw, gcov, gratio) = got(id)
+      assert(gn == n, s"doc $id n_tokens")
+      assert(gnw == nw, s"doc $id n_dup_windows: got $gnw expected $nw")
+      assert(gcov == cov, s"doc $id covered_tokens: got $gcov expected $cov")
+      assert(math.abs(gratio - cov.toDouble / n) < 1e-6, s"doc $id dup_coverage")
+      assert(gcov <= n, s"doc $id coverage cannot exceed doc length")
+    }
+    // the fixtures contain near-dup docs, so duplicated spans must exist
+    assert(expected.values.exists(_._3 > 0), "fixture should have duplicated spans")
+    // and some docs must be clean, or the coverage signal is degenerate
+    assert(expected.values.exists(_._3 == 0), "fixture should have novel docs")
+  }
+
+  test("pp07 chunks cover every token exactly, overlap by C-S, and hash correctly") {
+    val (c, s) = (64, 48)
+    val toks = docTokens()
+    val rows = SparkEntry.queries("pp07_chunk_overlap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == toks.keySet, "every doc must be chunked")
+    byDoc.foreach { case (id, chunks) =>
+      val n = toks(id).length
+      val sorted = chunks.sortBy(_._2)
+      // chunk ids are 0..m-1 with the exact integer-ceil count
+      val expectM = 1 + (if (n > c) (n - c + s - 1) / s else 0)
+      assert(sorted.map(_._2).toSeq == (0L until expectM.toLong),
+        s"doc $id chunk ids")
+      sorted.foreach { case (_, j, start, len, fp) =>
+        assert(start == j * s + 1, s"doc $id chunk $j start")
+        assert(len == math.min(c.toLong, n - j * s), s"doc $id chunk $j len")
+        assert(len > 0, s"doc $id chunk $j must be non-empty")
+        val slice = toks(id).slice(start.toInt - 1, (start + len - 1).toInt)
+        assert(fp == md5Prefix16(slice.mkString(" ")), s"doc $id chunk $j fp")
+      }
+      // full coverage: last chunk reaches the last token, consecutive
+      // chunks overlap by exactly C-S while both are full-size
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 == n, s"doc $id must be covered to the end")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val aEnd = a._3 + a._4 - 1
+          assert(b._3 <= aEnd + 1, s"doc $id gap between chunks ${a._2}/${b._2}")
+        case _ =>
+      }
+    }
+  }
+
+  test("tx11 LM coverage equals a single-threaded brute force") {
+    val toks = docTokens()
+    val train = toks.filter(_._1 % 10 != 0)
+    val test = toks.filter(_._1 % 10 == 0)
+    val vocab = train.values.flatten.toSet
+    val trainBg = train.values.flatMap(ts => ts.sliding(2).filter(_.length == 2)
+      .map(_.mkString(" "))).toSet
+    val got = SparkEntry.queries("tx11_lm_coverage")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == test.keySet.filter(id => test(id).length >= 2))
+    test.foreach { case (id, ts) =>
+      if (ts.length >= 2) {
+        val knownTok = ts.count(vocab.contains)
+        val bgs = ts.sliding(2).map(_.mkString(" ")).toArray
+        val knownBg = bgs.count(trainBg.contains)
+        val (n, tokCov, bgCov) = got(id)
+        assert(n == ts.length, s"doc $id n_tokens")
+        assert(math.abs(tokCov - knownTok.toDouble / ts.length) < 1e-6,
+          s"doc $id token_cov")
+        assert(math.abs(bgCov - knownBg.toDouble / bgs.length) < 1e-6,
+          s"doc $id bigram_cov")
+      }
+    }
+    // the held-out docs share the synthetic vocabulary, so unigram
+    // coverage should be high while bigram coverage varies — the signal
+    assert(got.values.map(_._2).min > 0.5, "vocab coverage should be high")
+  }
+}
