@@ -360,6 +360,47 @@ object Similarity {
         qsrc.filter(col("vec_id") >= 1)))(serveLshTopK(s, d, _))
     }),
 
+    // DIVERSIFIED top-k serving — greedy Maximal Marginal Relevance
+    // (Carbonell & Goldstein SIGIR'98) re-rank of the exact top-16
+    // shortlist: pick 5 of 16 maximizing λ·rel − μ·max_sim_to_selected
+    // (λ=0.7, μ=0.3), the standard retrieval-endpoint answer to "the top
+    // 5 are all near-duplicates of each other". The shortlist here is
+    // the oracle-able brute-force tier (the ss01 precedent); a serving
+    // deployment swaps in ss08's index-served shortlist unchanged.
+    //
+    // Scale design: MMR's greedy loop is inherently per-query, so the
+    // scalable shape is a MAP — shortlists arrive as one grouped row per
+    // query and the O(k·m) cosine work runs inside the native MmrSelect
+    // expression with no exchange, no iteration driver-side, no row
+    // amplification. Determinism (what lets DuckDB mirror the greedy
+    // exactly, unrolled one CTE per step like the k-means oracles): every
+    // raw cosine quantizes ONCE to integer 1e-6 units and scoring is
+    // exact long arithmetic 7·rel_u − 3·sim_u (λ=0.7/μ=0.3 in tenths),
+    // ties toward the lower c_id — see MmrSelect's contract for why
+    // scoring rounded doubles instead is systematically oracle-unsafe.
+    "ss10_mmr_diversify" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      val short = q.crossJoin(c)
+        .select(col("q_id"), col("c_id"), col("c_v"),
+          cosineD(col("q_v"), col("c_v")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 16)
+      short.groupBy(col("q_id"))
+        .agg(collect_list(struct(col("c_id"), col("cos"), col("c_v"))).as("cands"))
+        .select(col("q_id"),
+          explode(org.apache.spark.sql.graft.MmrSelect(col("cands"), 5, 7, 3))
+            .as("m"))
+        .select(col("q_id"), col("m.sel_rank").as("sel_rank"),
+          col("m.c_id").as("c_id"), col("m.rel_u").as("rel_u"),
+          col("m.mmr_u7").as("mmr_u7"))
+    }),
+
     // Per-label centroid norms — a coarse-quantization (IVF-style) summary:
     // centroid = mean vector per label, computed dimension-wise via
     // posexplode + re-aggregation (pure shuffle ops, linear scale).
@@ -388,7 +429,66 @@ object Similarity {
   // queries are disjoint and the serve is per-query independent).
   private val lshDim = 64 // fixture embedding dimensionality (asserted by the gate itself: a dim change would hash-mismatch)
 
+  /** ss10's oracle: the greedy MMR loop UNROLLED one CTE pair per
+    * selection step (the OracleMirror k-means discipline — a fixed
+    * iteration count becomes a CTE chain). Mirror of MmrSelect's
+    * determinism contract: every raw cosine quantizes ONCE to integer
+    * 1e-6 units (`CAST(ROUND(cos * 1000000, 0) AS BIGINT)` ==
+    * `Math.round(cos * 1e6)` for the positive range), scoring is exact
+    * integer arithmetic `7·rel_u − 3·sim_u`, ties break by c_id — so the
+    * two engines take identical argmax branches. */
+  private def mmrOracleSql(k: Int): String = {
+    def sel(n: Int) = (1 to n).map(i => s"SELECT q_id, c_id FROM s$i")
+      .mkString("(", " UNION ALL ", ")")
+    val steps = (2 to k).map { i =>
+      val prev = sel(i - 1)
+      s"""
+           r$i AS (
+             SELECT sh.q_id, sh.c_id, sh.rel_u,
+                    7 * sh.rel_u - 3 * MAX(p.sim_u) AS mmr_u7
+             FROM short sh
+             JOIN pair p ON p.q_id = sh.q_id AND p.b_id = sh.c_id
+             JOIN $prev sd ON sd.q_id = p.q_id AND sd.c_id = p.a_id
+             LEFT JOIN $prev ex ON ex.q_id = sh.q_id AND ex.c_id = sh.c_id
+             WHERE ex.c_id IS NULL
+             GROUP BY sh.q_id, sh.c_id, sh.rel_u),
+           s$i AS (
+             SELECT q_id, c_id, rel_u, mmr_u7 FROM r$i
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY mmr_u7 DESC, c_id) = 1)"""
+    }.mkString(",")
+    val out = (1 to k).map(i =>
+      s"SELECT q_id, $i AS sel_rank, c_id, rel_u, CAST(mmr_u7 AS BIGINT) AS mmr_u7 FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+           c AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id >= 10),
+           scored AS (
+             SELECT q_id, c_id, c_v, list_cosine_similarity(q_v, c_v) AS cos
+             FROM q CROSS JOIN c),
+           short AS (
+             SELECT q_id, c_id, c_v,
+                    CAST(ROUND(cos * 1000000, 0) AS BIGINT) AS rel_u
+             FROM scored
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, c_id) <= 16),
+           pair AS (
+             SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+                    CAST(ROUND(list_cosine_similarity(a.c_v, b.c_v) * 1000000, 0)
+                      AS BIGINT) AS sim_u
+             FROM short a JOIN short b
+               ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+           s1 AS (
+             SELECT q_id, c_id, rel_u, 7 * rel_u AS mmr_u7 FROM short
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY rel_u DESC, c_id) = 1),$steps
+      $out"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "ss10_mmr_diversify" -> mmrOracleSql(5),
+
     "ss02_ann_lsh_topk" ->
       OracleMirror.lshTopKSql("vec_id < 10", "vec_id >= 10", LshTables, LshBits, lshDim),
     "ss08_ann_index_serve" ->

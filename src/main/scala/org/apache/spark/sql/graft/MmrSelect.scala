@@ -1,0 +1,152 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Greedy Maximal Marginal Relevance selection over a per-query candidate
+  * shortlist (Carbonell & Goldstein, SIGIR'98): picks `k` of the
+  * candidates, each step taking the candidate maximizing
+  * `relWeight·rel − divWeight·max_sim_to_selected`, where `sim` is the
+  * cosine between candidate vectors — the standard diversified-top-k
+  * re-rank a retrieval endpoint runs after ANN shortlist fetch.
+  *
+  * Input: `array<struct<id: long, cos: double, v: array<double>>>`
+  * (read positionally; order-insensitive — selection scans the whole set
+  * each step). Output: `array<struct<c_id: long, sel_rank: int,
+  * rel_u: long, mmr_u7: long>>` in selection order, where `rel_u` is the
+  * relevance in 1e-6 units and `mmr_u7` the greedy score in 1e-7 units.
+  *
+  * This is a pure per-row map over an already-grouped shortlist: MMR's
+  * sequential greedy loop is inherently per-query, so the scalable shape
+  * is exactly this — shortlists arrive grouped (one row per query, m
+  * candidates each), the O(k·m) cosine work runs map-side, and no
+  * exchange or iteration leaves the row.
+  *
+  * Determinism contract (what lets a SQL oracle mirror the greedy
+  * exactly): every raw cosine is quantized ONCE to an integer —
+  * `round(cos·1e6)` — and all scoring is exact integer arithmetic
+  * (`relWeight·rel_u − divWeight·sim_u`), ties broken toward the lower
+  * id. Scoring rounded DOUBLES instead (λ·rel at λ=0.7 over 6-decimal
+  * rels) lands exactly on .xxxxxx5 boundaries by construction, where
+  * Java's BigDecimal(string) rounding and DuckDB's binary-double ROUND
+  * systematically disagree — integer scoring removes that entire class,
+  * leaving only the measure-zero chance that the two engines' raw
+  * cosines (differing in the last ulp) straddle a quantization boundary.
+  */
+case class MmrSelect(child: Expression, k: Int, relWeight: Int, divWeight: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "k must be >= 1")
+  require(relWeight > 0 && divWeight >= 0, "weights must be positive")
+
+  // candidates are read POSITIONALLY (field names vary with the caller's
+  // struct() aliases): 0 = id (long), 1 = raw cosine relevance (double),
+  // 2 = vector (array<double>)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 3 &&
+          s(0).dataType == LongType && s(1).dataType == DoubleType &&
+          (s(2).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          }) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mmr_select expects array<struct<long, double, array<double>>>, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("c_id", LongType, nullable = false),
+    StructField("sel_rank", IntegerType, nullable = false),
+    StructField("rel_u", LongType, nullable = false),
+    StructField("mmr_u7", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "mmr_select"
+
+  override protected def nullSafeEval(candsAny: Any): Any = {
+    val arr = candsAny.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val relU = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      relU(i) = Math.round(row.getDouble(1) * 1e6)
+      val v = row.getArray(2).toDoubleArray()
+      vecs(i) = v
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { s += v(j) * v(j); j += 1 }
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    // dot / (sqrt·sqrt) in sequential index order — the exact arithmetic
+    // shape of VectorOps.cosineD, so pairwise sims and the upstream rels
+    // come from the same formula — then ONE quantization to 1e-6 units
+    def simU(a: Int, b: Int): Long = {
+      val va = vecs(a); val vb = vecs(b)
+      val m = math.min(va.length, vb.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) { d += va(j) * vb(j); j += 1 }
+      Math.round(d / (norms(a) * norms(b)) * 1e6)
+    }
+    val kk = math.min(k, n)
+    val taken = new Array[Boolean](n)
+    // max quantized sim from each candidate to the selected set so far
+    val maxSimU = new Array[Long](n)
+    val out = new Array[Any](kk)
+    var r = 0
+    while (r < kk) {
+      var best = -1
+      var bestScore = Long.MinValue
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          // step 1 has no selected set: pure relevance; later steps
+          // subtract the diversity penalty — all exact long arithmetic
+          val score = if (r == 0) relWeight * relU(i)
+            else relWeight * relU(i) - divWeight * maxSimU(i)
+          // ties break toward the lower id EXPLICITLY — input order is a
+          // nondeterministic collect_list
+          if (best == -1 || score > bestScore ||
+              (score == bestScore && ids(i) < ids(best))) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(r) = InternalRow(ids(best), r + 1, relU(best), bestScore)
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = simU(i, best)
+          if (r == 0 || s > maxSimU(i)) maxSimU(i) = s
+        }
+        i += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MmrSelect =
+    copy(child = newChild)
+}
+
+object MmrSelect {
+  def apply(cands: Column, k: Int, relWeight: Int, divWeight: Int): Column =
+    ExpressionUtils.column(new MmrSelect(
+      ExpressionUtils.expression(cands), k, relWeight, divWeight))
+}

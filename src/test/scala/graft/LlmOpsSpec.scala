@@ -112,6 +112,65 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ss10 MMR diversification equals a single-threaded greedy brute force") {
+    // the exact arithmetic shape of VectorOps.cosineD / MmrSelect.simU:
+    // sequential-order dot products, dot / (sqrt * sqrt), ONE integer
+    // quantization to 1e-6 units
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def cosU(a: Array[Double], b: Array[Double]): Long = Math.round(cos(a, b) * 1e6)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val qs = vecs.keySet.filter(_ < 10)
+    val cs = vecs.keySet.filter(_ >= 10)
+    val expected = qs.flatMap { qid =>
+      val shortlist = cs.toSeq
+        .map(c => (c, cos(vecs(qid), vecs(c))))
+        .sortBy { case (id, c) => (-c, id) }.take(16)
+        .map { case (id, c) => (id, Math.round(c * 1e6)) }
+      var selected = Vector.empty[(Long, Int, Long, Long)]
+      var remaining = shortlist
+      for (r <- 1 to 5) {
+        val scored = remaining.map { case (id, relU) =>
+          val score =
+            if (r == 1) 7L * relU
+            else 7L * relU -
+              3L * selected.map(s => cosU(vecs(s._1), vecs(id))).max
+          (id, relU, score)
+        }
+        val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+        selected :+= ((best._1, r, best._2, best._3))
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      selected.map { case (id, r, relU, mmr) => (qid, r) -> ((id, relU, mmr)) }
+    }.toMap
+    val got = SparkEntry.queries("ss10_mmr_diversify")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, e) =>
+      assert(got(k) == e, s"query/rank $k: got ${got(k)} expected $e")
+    }
+    // on the planted near-dup fixtures diversification must actually
+    // change something vs plain top-5 for some query, or the op is inert
+    val top5 = qs.map { qid =>
+      qid -> cs.toSeq.map(c => (c, cos(vecs(qid), vecs(c))))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val mmr5 = qs.map { qid =>
+      qid -> expected.collect { case ((q, _), (id, _, _)) if q == qid => id }.toSet
+    }.toMap
+    assert(qs.exists(qid => top5(qid) != mmr5(qid)),
+      "MMR should diverge from plain top-5 somewhere on the fixtures")
+  }
+
   test("tx11 LM coverage equals a single-threaded brute force") {
     val toks = docTokens()
     val train = toks.filter(_._1 % 10 != 0)
