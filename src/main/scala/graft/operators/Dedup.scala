@@ -700,39 +700,46 @@ object Dedup {
     // per-doc-bounded collect_list — the doc fits in memory by
     // definition. The DuckDB oracle explodes positions and counts
     // DISTINCT — an independent algorithm proving the fold.
-    "dd16_substr_dedup" -> ((s, d) => {
-      val k = 8
-      val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("long").as("n_tokens"))
-      val wins = t.filter(size(col("toks")) >= k)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(toks) - ${k - 1}), i -> named_struct(" +
-            s"'p', i, " +
-            s"'h', substring(md5(cast(array_join(slice(toks, i, $k), ' ') AS binary)), 1, 16)))"))
-          .as("w"))
-        .select(col("doc_id"), col("w.p").as("p"), col("w.h").as("h"))
-      val cnt = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-      val dup = wins.join(cnt, "h").filter(col("cnt") >= 2)
-      val perDoc = dup.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dup_windows"),
-          sort_array(collect_list(col("p"))).as("ps"))
-        .select(col("doc_id"), col("n_dup_windows"),
-          aggregate(col("ps"),
-            struct(lit(-1000000).as("prev"), lit(0L).as("cov")),
-            (st, p) => struct(p.as("prev"),
-              (st.getField("cov") + least(lit(k.toLong),
-                (p - st.getField("prev")).cast("long"))).as("cov")),
-            st => st.getField("cov")).as("covered_tokens"))
-      t.select(col("doc_id"), col("n_tokens"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-          round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
-            / col("n_tokens"), 6).as("dup_coverage"))
-    })
+    "dd16_substr_dedup" -> ((s, d) =>
+      substrCoverage(s, d)
+        .withColumn("dup_coverage",
+          round(col("covered_tokens").cast("double") / col("n_tokens"), 6)))
   )
+
+  /** dd16's core: per-doc duplicated-span audit (doc_id, n_tokens,
+    * n_dup_windows, covered_tokens) — integer columns only, shared with
+    * pp08's span-coverage gate (one definition, or the gate and the audit
+    * would drift apart). See the dd16 entry for the algorithm. */
+  private[operators] def substrCoverage(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val wins = t.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> named_struct(" +
+          s"'p', i, " +
+          s"'h', substring(md5(cast(array_join(slice(toks, i, $k), ' ') AS binary)), 1, 16)))"))
+        .as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.h").as("h"))
+    val cnt = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val dup = wins.join(cnt, "h").filter(col("cnt") >= 2)
+    val perDoc = dup.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sort_array(collect_list(col("p"))).as("ps"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        aggregate(col("ps"),
+          struct(lit(-1000000).as("prev"), lit(0L).as("cov")),
+          (st, p) => struct(p.as("prev"),
+            (st.getField("cov") + least(lit(k.toLong),
+              (p - st.getField("prev")).cast("long"))).as("cov")),
+          st => st.getField("cov")).as("covered_tokens"))
+    t.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
 
   /** dd09/dd12 shared core: connected components over the verified
     * rep-level near-dup graph. Returns the persisted exact-dup group

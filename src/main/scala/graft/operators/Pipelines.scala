@@ -238,20 +238,33 @@ object Pipelines {
     // the DuckDB oracle runs the identical hash), so downstream
     // chunk-level dedup joins on 64-bit keys, never on chunk text. At
     // 100 TB this is a pure scan whose output is ~n/S rows per doc.
-    "pp07_chunk_overlap" -> ((s, d) => {
-      val C = 64; val S = 48
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("source"), col("toks"),
-          size(col("toks")).as("n"),
-          explode(expr(s"sequence(0, CASE WHEN size(toks) > $C " +
-            s"THEN (size(toks) - $C + ${S - 1}) DIV $S ELSE 0 END)")).as("j"))
-        .select(col("doc_id"), col("source"),
-          col("j").cast("long").as("chunk_id"),
-          (col("j") * S + 1).cast("long").as("start_tok"),
-          least(lit(C), col("n") - col("j") * S).cast("long").as("chunk_tokens"),
-          expr(s"substring(md5(cast(array_join(slice(toks, j * $S + 1, $C), ' ') " +
-            "AS binary)), 1, 16)").as("chunk_fp"))
+    "pp07_chunk_overlap" -> ((s, d) =>
+      chunkManifest(Tables.load(s, d, "documents"))),
+
+    // SPAN-CLEAN → CHUNK — the new tiers composed into the terminal
+    // retrieval-prep artifact: dd16's duplicated-span audit gates out
+    // documents that are mostly repeated passages (keep iff
+    // 2·covered_tokens ≤ n_tokens — an INTEGER comparison, no float
+    // threshold), the survivors chunk through pp07's manifest, and the
+    // rollup reports per-source chunk counts plus DISTINCT chunk
+    // fingerprints — the chunk-level dedup signal an embedding job uses
+    // to skip redundant chunks. Same composition discipline as pp03
+    // (consume the dedup artifact, don't re-derive it): the gate input
+    // is dd16's shared core, one definition for audit and gate.
+    //
+    // Scale: the gate adds dd16's linear gram pipeline; chunking and the
+    // rollup are map-side + one hash agg. The distinct-fingerprint count
+    // is a 64-bit-key aggregation — chunk text never shuffles.
+    "pp08_span_clean_chunks" -> ((s, d) => {
+      val keep = Dedup.substrCoverage(s, d)
+        .filter(col("covered_tokens") * 2 <= col("n_tokens"))
+        .select(col("doc_id"))
+      chunkManifest(Tables.load(s, d, "documents").join(keep, "doc_id"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("sum_chunk_tokens"),
+          countDistinct(col("chunk_fp")).as("n_unique_chunks"))
     }),
 
     // corpus prep: exact-dedup (keep lowest doc_id per content
@@ -287,6 +300,27 @@ object Pipelines {
             / count(lit(1))).as("avg_quality"))
     })
   )
+
+  /** pp07's chunk manifest over a documents-shaped frame (doc_id, source,
+    * text → one row per chunk) — ONE definition shared by pp07 and pp08's
+    * composition, C = 64-token chunks at stride S = 48. Boundaries are
+    * exact integer arithmetic; identity is the md5-prefix of the joined
+    * slice. */
+  private def chunkManifest(docsDf: DataFrame): DataFrame = {
+    val C = 64; val S = 48
+    docsDf
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        size(col("toks")).as("n"),
+        explode(expr(s"sequence(0, CASE WHEN size(toks) > $C " +
+          s"THEN (size(toks) - $C + ${S - 1}) DIV $S ELSE 0 END)")).as("j"))
+      .select(col("doc_id"), col("source"),
+        col("j").cast("long").as("chunk_id"),
+        (col("j") * S + 1).cast("long").as("start_tok"),
+        least(lit(C), col("n") - col("j") * S).cast("long").as("chunk_tokens"),
+        expr(s"substring(md5(cast(array_join(slice(toks, j * $S + 1, $C), ' ') " +
+          "AS binary)), 1, 16)").as("chunk_fp"))
+  }
 
   /** The qualityScore column as DuckDB SQL over a text expression — the
     * SQL twin of [[qualityScore]], shared by the pp01/pp02/pp03 oracles
@@ -339,6 +373,39 @@ object Pipelines {
              CAST(COALESCE(hits, 0) > 0 AS INT) AS contaminated
       FROM (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0) d
       LEFT JOIN hits USING (doc_id)""",
+
+    // dd16's coverage CTE (independent position-explode algorithm) →
+    // integer gate → pp07's chunk arithmetic → rollup
+    "pp08_span_clean_chunks" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           w AS (SELECT doc_id, i AS p,
+                        substring(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS h
+                 FROM t, UNNEST(range(1, LEN(toks) - 6)) AS u(i)),
+           c AS (SELECT h, COUNT(*) AS cnt FROM w GROUP BY h),
+           dup AS (SELECT w.doc_id, w.p FROM w JOIN c USING (h) WHERE c.cnt >= 2),
+           cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS covered
+                   FROM dup, UNNEST(range(p, p + 8)) AS v(pos)
+                   GROUP BY doc_id),
+           keep AS (SELECT t.doc_id FROM t LEFT JOIN cov USING (doc_id)
+                    WHERE COALESCE(cov.covered, 0) * 2 <= LEN(t.toks)),
+           k AS (SELECT d.doc_id, d.source, string_split(d.text, ' ') AS toks
+                 FROM documents d JOIN keep USING (doc_id)),
+           ch AS (SELECT doc_id, source, toks, LEN(toks) AS n,
+                         UNNEST(range(0, 1 + CASE WHEN LEN(toks) > 64
+                                                  THEN (LEN(toks) - 64 + 47) // 48
+                                                  ELSE 0 END)) AS j
+                  FROM k),
+           m AS (SELECT doc_id, source,
+                        LEAST(64, n - j * 48) AS chunk_tokens,
+                        substring(md5(array_to_string(toks[j*48 + 1 : j*48 + 64], ' ')),
+                                  1, 16) AS chunk_fp
+                 FROM ch)
+      SELECT source,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+             CAST(COUNT(DISTINCT chunk_fp) AS BIGINT) AS n_unique_chunks
+      FROM m GROUP BY source""",
 
     // identical integer arithmetic and identical md5-prefix chunk hash —
     // the chunk boundaries and fingerprints must agree byte-for-byte

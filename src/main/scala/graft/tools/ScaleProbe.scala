@@ -32,7 +32,9 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
 
   private def build(s: SparkSession): Unit = {
-    val done = new java.io.File(s"$Dst/_built")
+    // flag renamed when the tier's contents changed (r10 added the
+    // replicated embeddings) so a stale /tmp tier rebuilds
+    val done = new java.io.File(s"$Dst/_built_r10")
     if (done.exists()) return
     val stride = 100000000L
     def w(name: String, df: DataFrame): Unit =
@@ -43,8 +45,12 @@ object ScaleProbe {
     w("orders", rep10(Tables.load(s, Src, "orders"), Seq("o_orderkey"), stride))
     w("events", rep10(Tables.load(s, Src, "events"), Seq("event_id"), stride))
     w("documents", rep10(Tables.load(s, Src, "documents"), Seq("doc_id"), stride))
+    // embeddings ×10 with shifted ids (r10, for the ss10 probe): the
+    // query set stays the original vec_id < 10, the candidate corpus
+    // grows 10× — the linear regime of a serving shortlist search
+    w("embeddings", rep10(Tables.load(s, Src, "embeddings"), Seq("vec_id"), stride))
     // dimensions verbatim
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "embeddings"))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       w(t, Tables.load(s, Src, t))
     done.createNewFile()
     ()
@@ -67,7 +73,16 @@ object ScaleProbe {
       // copies of every benchmark doc — the worst case for the
       // contamination join's hit rate)
       "dd15_cc_star", "pp04_pack_sequences", "pp05_decontaminate",
-      "pp06_mixture_sample")
+      "pp06_mixture_sample",
+      // r10 additions: span-level dedup + chunking + LM scoring + MMR
+      // serving. On the exact-copy ×10 corpus every window fingerprint
+      // occurs ≥ 10× so dd16 saturates to coverage 1 and pp08's gate
+      // drops every doc — the maximal-duplication worst case for their
+      // join/agg volume, which is exactly what a cost probe should
+      // measure (the novel-corpus regime is the sf0.1 column). ss10
+      // rides the replicated embeddings: same 10 queries, 10× corpus.
+      "dd16_substr_dedup", "pp07_chunk_overlap", "pp08_span_clean_chunks",
+      "tx11_lm_coverage", "ss10_mmr_diversify")
     for (dir <- Seq(Src, Dst); name <- queries) {
       System.gc()
       tap.harvest()

@@ -95,6 +95,16 @@ object GraftFunctions {
         "codebook cells by cosine (codebook must be a literal array<array<double>>)",
       args => { arity("nearest_cells", args, 3)
         new NearestCells(args(0), args(1),
-          intLit(args(2), "nearest_cells", "nprobe")) })
+          intLit(args(2), "nearest_cells", "nprobe")) }),
+    ("mmr_select",
+      "_FUNC_(cands, k, relWeight, divWeight) - greedy MMR selection over " +
+        "array<struct<id:long, cos:double, v:array<double>>>: picks k by " +
+        "relWeight*rel_u - divWeight*max_sim_u (cosines quantized once to " +
+        "1e-6 integer units), ties toward the lower id",
+      args => { arity("mmr_select", args, 4)
+        new MmrSelect(args(0),
+          intLit(args(1), "mmr_select", "k"),
+          intLit(args(2), "mmr_select", "relWeight"),
+          intLit(args(3), "mmr_select", "divWeight")) })
   )
 }

@@ -77,6 +77,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.values.exists(_._3 == 0), "fixture should have novel docs")
   }
 
+  test("dd16 output stays O(docs) under a massively duplicated span (skew bomb)") {
+    // every doc shares ONE 8-token span (the boilerplate worst case: its
+    // window fingerprint occurs n times corpus-wide) — the count-back
+    // join must emit one row per OCCURRENCE, never per pair, and the
+    // audit table stays one row per doc with the span exactly covered
+    val n = 3000L
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dd16skew").toString
+    val dup = (0 until 8).map(j => s"dup$j").mkString(" ")
+    (0L until n).map { i =>
+      val uniq = (0 until 8).map(j => s"u${i}x$j").mkString(" ")
+      (i, s"$dup $uniq", "en", "src0", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dd16_substr_dedup")(spark, dir).collect()
+    assert(out.length == n, "one audit row per doc — O(n) output at any skew")
+    out.foreach { r =>
+      assert(r.getLong(1) == 16, s"doc ${r.getLong(0)} n_tokens")
+      assert(r.getLong(2) == 1, "exactly the shared window is duplicated")
+      assert(r.getLong(3) == 8, "exactly the span's 8 tokens are covered")
+    }
+  }
+
   test("pp07 chunks cover every token exactly, overlap by C-S, and hash correctly") {
     val (c, s) = (64, 48)
     val toks = docTokens()

@@ -53,6 +53,24 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[Int](2) == Seq(1), "cosine argmax must pick the aligned cell")
   }
 
+  test("mmr_select is callable from SQL and picks diversity over redundancy") {
+    // three candidates: two near-identical high-rel vectors and one
+    // orthogonal mid-rel vector — MMR must pick one of the twins, then
+    // prefer the orthogonal candidate over the second twin
+    val r = spark.sql(
+      """SELECT mmr_select(array(
+        |         named_struct('id', 1L, 'cos', 0.95D, 'v', array(1.0D, 0.0D)),
+        |         named_struct('id', 2L, 'cos', 0.94D, 'v', array(1.0D, 0.01D)),
+        |         named_struct('id', 3L, 'cos', 0.60D, 'v', array(0.0D, 1.0D))),
+        |       2, 7, 3) AS sel
+        |""".stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(_.getLong(0)) == Seq(1L, 3L),
+      "rank 1 = top relevance, rank 2 = the diverse candidate")
+    assert(r.map(_.getInt(1)) == Seq(1, 2))
+    assert(r.head.getLong(2) == 950000L, "rel_u in 1e-6 units")
+    assert(r.head.getLong(3) == 7L * 950000L, "first pick scores 7*rel_u")
+  }
+
   test("SQL results agree with the Column API") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._
