@@ -46,7 +46,18 @@ object Bench {
         tap.harvest() // reset: don't bill warmup/neighbor bytes to this query
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // execute the query's OWN plan via the noop sink, not a count()
+          // stacked on top: the count's re-optimization prunes every
+          // column and can DELETE the operator under test — dd16's final
+          // left join (unique-keyed right side, no filter) collapsed to a
+          // bare parquet count, benching a 0.24 s scan as if it were the
+          // span-dedup pipeline. The noop write materializes every output
+          // row/column inside a proper SQLExecution; raw
+          // queryExecution.toRdd.count() is NOT safe here — it skips the
+          // execution-id wrapper AQE's final-plan handoff waits on and
+          // intermittently deadlocks in withFinalPlanUpdate (observed on
+          // this rig).
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
           val (w, r) = tap.harvest()
           name -> Obs(sec, w, r)

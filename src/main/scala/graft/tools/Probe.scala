@@ -10,7 +10,11 @@ object Probe {
     val spark = GraftSession.get()
     args.tail.foreach { name =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      // noop write, not count(): a stacked count() re-optimizes and can
+      // delete the operator under test (see Bench)
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val n = df.count()
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
     spark.stop()

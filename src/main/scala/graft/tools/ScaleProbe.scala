@@ -87,9 +87,18 @@ object ScaleProbe {
       System.gc()
       tap.harvest()
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, dir).count()
+      // noop write, not count(): see Bench — a stacked count()
+      // re-optimizes and can delete the operator under test (dd16/pp05's
+      // final audit-table left joins). Row counts are taken from a
+      // SEPARATE count() afterwards: join elimination is semantics-
+      // preserving for the count, just not for the cost.
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      // harvest BEFORE the row count so the count's own shuffle bytes
+      // don't double-bill the query
       val (wb, rb) = tap.harvest()
+      val rows = df.count()
       println(f"SCALEPROBE $dir $name rows=$rows wall=$sec%.2f s " +
         f"shuffle_w=${wb / 1e6}%.1f MB shuffle_r=${rb / 1e6}%.1f MB")
     }

@@ -152,6 +152,46 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-doc run-length folds must not shuffle:\n$p")
   }
 
+  test("pp07: the chunk manifest plans with ZERO exchanges (pure map-side explode)") {
+    val p = plan("pp07_chunk_overlap")
+    assert(!p.contains("Exchange"),
+      s"chunking must be a scan + generate with no shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the explode of chunk starts:\n$p")
+  }
+
+  test("dd16: two exchanges (gram count, per-doc fold) and no pair-shaped join") {
+    // the span-dedup scale claims: window fingerprints meet through ONE
+    // hash aggregation + a count-back join (per OCCURRENCE — never a
+    // pair product), and the coverage fold adds one per-doc aggregation;
+    // nothing else may shuffle
+    import org.apache.spark.sql.execution
+    val flat = flattenPlan(SparkEntry.queries("dd16_substr_dedup")(spark, sf)
+      .queryExecution.executedPlan)
+    def names = flat.map(_.nodeName).mkString(", ")
+    assert(flat.count(_.isInstanceOf[execution.exchange.ShuffleExchangeExec]) == 2,
+      s"expected exactly the gram-count and per-doc-fold exchanges: $names")
+    assert(!flat.exists(_.isInstanceOf[execution.joins.CartesianProductExec]),
+      s"no pair product anywhere in the span pipeline: $names")
+    assert(!flat.exists(
+      _.isInstanceOf[execution.joins.BroadcastNestedLoopJoinExec]),
+      s"no nested-loop join in the span pipeline: $names")
+  }
+
+  test("ss10: one exchange — the window partitioning is REUSED by the shortlist grouping") {
+    // MMR's scale shape: the per-query window (rank <= 16) hash-partitions
+    // on q_id and the collect_list grouping must ride the SAME
+    // partitioning (no second exchange); the greedy fold itself is a
+    // Generate over the grouped row — map-side, no shuffle of its own
+    import org.apache.spark.sql.execution
+    val flat = flattenPlan(SparkEntry.queries("ss10_mmr_diversify")(spark, sf)
+      .queryExecution.executedPlan)
+    def names = flat.map(_.nodeName).mkString(", ")
+    assert(flat.count(_.isInstanceOf[execution.exchange.ShuffleExchangeExec]) == 1,
+      s"window + grouping must share one q_id exchange: $names")
+    assert(flat.exists(_.isInstanceOf[execution.GenerateExec]),
+      s"expected the explode of the MMR selection: $names")
+  }
+
   test("dd10: hot-cell sizing is partial-agg — no Window over the skew key") {
     // VERDICT r6 item 1: Window.partitionBy(cell) would hash-partition an
     // entire hot cell into ONE window task just to measure it (and AQE
@@ -271,7 +311,10 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hints allowed in these plans are 1-row scalars (tx08's n_total).
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     for (name <- Seq("dd07_prefix_join", "tx08_common_token_density",
-        "tx10_boilerplate")) {
+        "tx10_boilerplate",
+        // r10: the span-gram dictionary and the LM reference vocab/bigram
+        // dictionaries are corpus-sized too — AQE must stay in charge
+        "dd16_substr_dedup", "tx11_lm_coverage")) {
       val analyzed = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
       val hinted = analyzed.collect { case h: ResolvedHint => h }
       hinted.foreach { h =>
