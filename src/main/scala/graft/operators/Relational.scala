@@ -487,18 +487,32 @@ object Relational {
     // power the gate (they cost an Expand ×3 of the scan); the sketch
     // itself stays one partial+final hash agg with tiny state.
     // SketchAndPlanSpec keeps the direct 5% assertion on the raw values.
+    // The sketches and the exact distinct counts run in SEPARATE
+    // aggregations joined on the 3-row group key — never in one Aggregate.
+    // Mixing them is a scale anti-pattern the r10 bench-action fix
+    // exposed: multiple countDistincts plan an Expand whose FIRST-stage
+    // aggregation keys on the distinct columns, so every distinct value
+    // (600k partkeys at sf0.1, billions at 100 TB) carries the full
+    // TypedImperative buffers of the co-located sketches — two
+    // rsd-0.01 HLLs ≈ 2,700 buffer words each, O(distinct × sketch
+    // bytes) partial state (measured: a single map task burned 5+ min
+    // projecting ~1.2M 2,700-field partial rows). Split, the sketch
+    // aggregation keeps 3 buffers total and the distinct Expand carries
+    // bytes-sized buffers.
     "q37_approx_sketches" -> ((s, d) => {
-      t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val li = t(s, d, "lineitem")
+      val sketches = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
           approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
           percentile(col("l_extendedprice"), lit(0.45)).as("p45"),
           percentile(col("l_extendedprice"), lit(0.55)).as("p55"),
           count(lit(1)).as("n_rows"))
+      val exacts = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+      sketches.join(exacts, "l_returnflag")
         .select(col("l_returnflag"), col("n_rows"),
           col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
