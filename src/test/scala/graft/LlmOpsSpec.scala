@@ -194,6 +194,60 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "MMR should diverge from plain top-5 somewhere on the fixtures")
   }
 
+  test("mmr_select matches the greedy brute force on random candidate sets") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(42)
+    val sp = spark; import sp.implicits._
+    val cases = Seq.tabulate(60) { ci =>
+      val cands = Seq.fill(2 + rng.nextInt(15)) {
+        (rng.nextInt(100000).toLong,
+          rng.nextDouble() * 2 - 1,
+          Array.fill(8)(rng.nextGaussian()))
+      }.distinctBy(_._1)
+      (ci.toLong, cands)
+    }
+    def cosU(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      Math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+    }
+    val expected = cases.map { case (ci, cands) =>
+      val byId = cands.map(c => c._1 -> c._3).toMap
+      var selected = Vector.empty[(Long, Long, Long)]
+      var remaining = cands.map(c => (c._1, Math.round(c._2 * 1e6)))
+      for (_ <- 1 to math.min(5, cands.size)) {
+        val scored = remaining.map { case (id, relU) =>
+          val sc = if (selected.isEmpty) 7L * relU
+            else 7L * relU - 3L * selected.map(s => cosU(byId(s._1), byId(id))).max
+          (id, relU, sc)
+        }
+        val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+        selected :+= best
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      ci -> selected
+    }.toMap
+    val got = cases
+      .flatMap { case (ci, cands) => cands.map(c => (ci, c._1, c._2, c._3.toSeq)) }
+      .toDF("case_id", "id", "cos", "v")
+      .groupBy(col("case_id"))
+      .agg(collect_list(struct(col("id"), col("cos"), col("v"))).as("cands"))
+      .select(col("case_id"),
+        explode(org.apache.spark.sql.graft.MmrSelect(col("cands"), 5, 7, 3)).as("m"))
+      .select(col("case_id"), col("m.c_id"), col("m.sel_rank"),
+        col("m.rel_u"), col("m.mmr_u7"))
+      .collect()
+      .groupBy(_.getLong(0))
+    expected.foreach { case (ci, sel) =>
+      val rows = got(ci).sortBy(_.getInt(2))
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toVector
+      assert(rows == sel.map { case (id, relU, mmr) => (id, relU, mmr) },
+        s"case $ci: got $rows expected $sel")
+    }
+  }
+
   test("tx11 LM coverage equals a single-threaded brute force") {
     val toks = docTokens()
     val train = toks.filter(_._1 % 10 != 0)
