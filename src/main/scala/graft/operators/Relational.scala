@@ -22,6 +22,40 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Relational {
 
+  /** Exact interpolated percentile (quantile_cont semantics) the
+    * scale-safe way, shared by q35 and q37 (one sort serves every percentile of a value column): row_number over a per-group
+    * SORT (WindowExec's sort spills; row_number is a running frame — no
+    * partition buffering), broadcast group counts, then only the two
+    * straddling ranks survive and interpolate with the convex form
+    * lo·(1−g) + hi·g (NOT lo + (hi−lo)·g — the forms differ in the last
+    * ulp and both engines use the former). Spark's percentile()
+    * aggregate instead buffers every value of a group in memory — the
+    * shape that OOMs at 100 TB. `grp` is the group column (small
+    * cardinality); `cnts` must carry (grp, n_rows). */
+  private def exactPcts(rows: DataFrame, cnts: DataFrame, valCol: Column,
+      ps: Seq[(Double, String)], grp: String = "l_returnflag"): DataFrame = {
+    def pos(p: Double): Column = (col("n_rows") - 1) * lit(p)
+    def straddles(p: Double): Column =
+      col("rn") - 1 === floor(pos(p)) || col("rn") - 1 === ceil(pos(p))
+    val w = Window.partitionBy(col(grp)).orderBy(col("v"))
+    // ONE sort + window pass serves every requested percentile of this
+    // value column; only the straddling ranks survive the filter
+    val ranked = rows.select(col(grp), valCol.cast("double").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(cnts), grp)
+      .filter(ps.map { case (p, _) => straddles(p) }.reduce(_ || _))
+    val aggs = ps.flatMap { case (p, out) => Seq(
+      min(when(straddles(p), col("v"))).as(s"lo_$out"),
+      max(when(straddles(p), col("v"))).as(s"hi_$out")) }
+    val outs = ps.map { case (p, out) =>
+      val frac = pos(p) - floor(pos(p))
+      (col(s"lo_$out") * (lit(1.0) - frac) + col(s"hi_$out") * frac).as(out)
+    }
+    ranked.groupBy(col(grp), col("n_rows"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(grp) +: outs: _*)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -506,13 +540,18 @@ object Relational {
           approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
           approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-          percentile(col("l_extendedprice"), lit(0.45)).as("p45"),
-          percentile(col("l_extendedprice"), lit(0.55)).as("p55"),
           count(lit(1)).as("n_rows"))
       val exacts = li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+      // the exact p45/p55 envelope comes from the shared sort-based
+      // percentile (q35's scale-safe shape), not the buffering
+      // percentile() aggregate — every aggregation in this query is now
+      // bounded-memory (HLL registers, GK summary, sort + two ranks)
+      val cnts = sketches.select(col("l_returnflag"), col("n_rows"))
       sketches.join(exacts, "l_returnflag")
+        .join(exactPcts(li, cnts, col("l_extendedprice"),
+          Seq(0.45 -> "p45", 0.55 -> "p55")), "l_returnflag")
         .select(col("l_returnflag"), col("n_rows"),
           col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
@@ -524,14 +563,24 @@ object Relational {
     }),
 
     // --- percentiles / median ----------------------------------------------
+    // EXACT interpolated percentiles the SCALE-SAFE way: Spark's
+    // percentile() aggregate is a TypedImperativeAggregate that buffers
+    // every (value, count) of a group IN MEMORY — at 100 TB a 3-group
+    // lineitem would hold ~rows/3 values per buffer and OOM (the honest
+    // r10 bench action exposed the real cost the old pruned action hid).
+    // This formulation is the distributed classic instead: row_number
+    // over a per-group SORT (WindowExec's sort spills; row_number is a
+    // running frame — no partition buffering), group counts broadcast
+    // back, and each percentile reads exactly the two straddling ranks
+    // and interpolates — quantile_cont semantics, same values (the
+    // oracle is unchanged), bounded memory at any scale.
     "q35_percentiles" -> ((s, d) => {
-      t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
-          percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
-          percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
-          count(lit(1)).as("n_rows"))
+      val li = t(s, d, "lineitem")
+      val cnts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+      exactPcts(li, cnts, col("l_quantity"), Seq(0.5 -> "median_qty"))
+        .join(exactPcts(li, cnts, col("l_extendedprice"),
+          Seq(0.25 -> "p25_price", 0.75 -> "p75_price")), "l_returnflag")
+        .join(cnts, "l_returnflag")
     }),
 
     // --- terasort-style global sort (the reference's heaviest non-SQL
