@@ -72,24 +72,33 @@ case class MmrSelect(child: Expression, k: Int, relWeight: Int, divWeight: Int)
 
   override protected def nullSafeEval(candsAny: Any): Any = {
     val arr = candsAny.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val ids = new Array[Long](n)
-    val relU = new Array[Long](n)
-    val vecs = new Array[Array[Double]](n)
-    val norms = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      val row = arr.getStruct(i, 3)
-      ids(i) = row.getLong(0)
-      relU(i) = Math.round(row.getDouble(1) * 1e6)
-      val v = row.getArray(2).toDoubleArray()
-      vecs(i) = v
-      var s = 0.0
-      var j = 0
-      while (j < v.length) { s += v(j) * v(j); j += 1 }
-      norms(i) = math.sqrt(s)
-      i += 1
+    val total = arr.numElements()
+    val ids = new Array[Long](total)
+    val relU = new Array[Long](total)
+    val vecs = new Array[Array[Double]](total)
+    val norms = new Array[Double](total)
+    // null elements / null fields are skipped, not NPE'd — collect_list
+    // never produces them, but the SQL-registered path can
+    var n = 0
+    var src = 0
+    while (src < total) {
+      if (!arr.isNullAt(src)) {
+        val row = arr.getStruct(src, 3)
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
+          ids(n) = row.getLong(0)
+          relU(n) = Math.round(row.getDouble(1) * 1e6)
+          val v = row.getArray(2).toDoubleArray()
+          vecs(n) = v
+          var s = 0.0
+          var j = 0
+          while (j < v.length) { s += v(j) * v(j); j += 1 }
+          norms(n) = math.sqrt(s)
+          n += 1
+        }
+      }
+      src += 1
     }
+    var i = 0
     // dot / (sqrt·sqrt) in sequential index order — the exact arithmetic
     // shape of VectorOps.cosineD, so pairwise sims and the upstream rels
     // come from the same formula — then ONE quantization to 1e-6 units
