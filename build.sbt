@@ -39,3 +39,38 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // which resolves the Scala suffix from this env var when the shell
 // scripts (which normally export it) are bypassed.
 Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+
+// ---- style gate ----
+// The reference's CI runs `scalafmtCheckAll` on every build
+// (.github/workflows/ci.yml); this sandbox's offline coursier cache has no
+// scalafmt artifacts, so this task is the cheap in-sandbox equivalent: the
+// mechanical hygiene rules a formatter enforces (tabs, trailing
+// whitespace, CRLF, 120-char lines, final newline), wired so `sbt test`
+// fails on drift.
+lazy val styleCheck = taskKey[Unit](
+  "fail on tabs / trailing whitespace / CRLF / >120-char lines / missing final newline")
+styleCheck := {
+  val log = streams.value.log
+  val files = ((baseDirectory.value / "src") ** "*.scala").get()
+  val bad = files.flatMap { f =>
+    val s = IO.read(f, java.nio.charset.StandardCharsets.UTF_8)
+    val issues = scala.collection.mutable.Buffer[String]()
+    s.split("\n", -1).zipWithIndex.foreach { case (raw, i) =>
+      val crlf = raw.endsWith("\r")
+      val l = if (crlf) raw.dropRight(1) else raw
+      if (crlf) issues += s"$f:${i + 1}: CRLF line ending"
+      if (l.contains('\t')) issues += s"$f:${i + 1}: tab character"
+      if (l != l.replaceAll("\\s+$", ""))
+        issues += s"$f:${i + 1}: trailing whitespace"
+      if (l.length > 120)
+        issues += s"$f:${i + 1}: line longer than 120 chars (${l.length})"
+    }
+    if (s.nonEmpty && !s.endsWith("\n")) issues += s"$f: missing final newline"
+    issues
+  }
+  if (bad.nonEmpty) {
+    bad.foreach(m => log.error(m))
+    sys.error(s"styleCheck: ${bad.size} violation(s)")
+  } else log.info(s"styleCheck: ${files.size} files clean")
+}
+Test / test := ((Test / test) dependsOn styleCheck).value

@@ -217,6 +217,9 @@ object Pipelines {
       kept.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("kept_tokens"))
         .withColumn("mix_share",
+          // K aggregated rows (one per source), never data-sized: a
+          // deliberate global window — Spark's "WindowExec: No Partition
+          // Defined" warning here is bounded-by-design (PLANS.md)
           round(col("kept_tokens").cast("double") /
             sum(col("kept_tokens")).over(Window.partitionBy()), 6))
     }),

@@ -22,37 +22,140 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Relational {
 
-  /** Exact interpolated percentile (quantile_cont semantics) the
-    * scale-safe way, shared by q35 and q37 (one sort serves every percentile of a value column): row_number over a per-group
-    * SORT (WindowExec's sort spills; row_number is a running frame — no
-    * partition buffering), broadcast group counts, then only the two
-    * straddling ranks survive and interpolate with the convex form
+  /** Number of equi-width buckets in the rank-locate percentile. ~10³ keeps
+    * the per-group histogram a broadcast-sized table while bounding any
+    * single straddling-bucket sort to ~n/1024 rows. */
+  private[graft] val PctBuckets = 1024
+
+  /** Located percentile targets — one row per (group, percentile, lo|hi
+    * side): the bucket that holds the target rank plus that bucket's
+    * histogram stats. `bucketed` is the full corpus tagged with its bucket
+    * id; `located` is tiny (≤ 2·|ps|·groups rows). Shared by [[exactPcts]]
+    * and the scale spec that asserts the sort footprint. */
+  private[graft] final case class PctLocated(bucketed: DataFrame, located: DataFrame)
+
+  private def pctPos(p: Double): Column = (col("n_rows") - 1) * lit(p)
+
+  /** Rank-locate phase of the bucketed exact percentile (shape designed in
+    * r10, SCALE.md §"exact percentiles"): equi-width bucket histogram →
+    * prefix sum over the ~10³ bucket rows → for each target rank, the ONE
+    * bucket whose cumulative range covers it. All ranks are exact integer
+    * counts, so bucketing changes which rows are scanned, never the result. */
+  private[graft] def pctLocate(rows: DataFrame, cnts: DataFrame, valCol: Column,
+      ps: Seq[(Double, String)], grp: String): PctLocated = {
+    val nb = PctBuckets
+    val vals = rows.select(col(grp), valCol.cast("double").as("v"))
+    // pass 1: per-group value range (3-row aggregate, broadcast back)
+    val ranges = vals.groupBy(grp).agg(min("v").as("vmin"), max("v").as("vmax"))
+    // order-preserving bucket id in [0, nb): floor of the scaled offset —
+    // monotone in v (multiplication/division by a positive constant and
+    // floor are monotone in IEEE doubles), so bucket ranges partition the
+    // per-group rank space
+    val bCol = when(col("vmax") <= col("vmin"), lit(0)).otherwise(
+      least(floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * nb)
+        .cast("int"), lit(nb - 1)))
+    val bucketed = vals.join(broadcast(ranges), grp)
+      .select(col(grp), col("v"), bCol.as("b"))
+    // pass 2: per-(group, bucket) histogram — partial→final agg whose
+    // shuffle volume is O(groups·nb), never O(rows)
+    val hist = bucketed.groupBy(col(grp), col("b"))
+      .agg(count(lit(1)).as("bc"), min("v").as("bmin"), max("v").as("bmax"))
+    val cum = hist.withColumn("cum_lo",
+      sum("bc").over(Window.partitionBy(col(grp)).orderBy(col("b"))) - col("bc"))
+    // target ranks, 1-based, two per percentile (floor/ceil of the
+    // fractional position — the same expressions the interpolation uses)
+    val targets = cnts.select(col(grp), explode(array(ps.flatMap {
+      case (p, out) => Seq(
+        struct(lit(out).as("pname"), lit("lo").as("side"),
+          (floor(pctPos(p)) + 1).cast("long").as("r")),
+        struct(lit(out).as("pname"), lit("hi").as("side"),
+          (ceil(pctPos(p)) + 1).cast("long").as("r")))
+    }: _*)).as("t")).select(col(grp), col("t.pname"), col("t.side"), col("t.r"))
+    // locate: both sides are tiny (2·|ps|·groups × groups·nb rows)
+    val located = targets.join(cum, Seq(grp))
+      .filter(col("r") > col("cum_lo") && col("r") <= col("cum_lo") + col("bc"))
+    PctLocated(bucketed, located)
+  }
+
+  /** Exact interpolated percentile (quantile_cont semantics) the scale-safe
+    * way, shared by q35 and q37: bucket-histogram rank-locate. The r10
+    * sort-based formulation (row_number over a per-group sort) had bounded
+    * memory but serialized each group's ENTIRE sort through one task — with
+    * 3 groups at 100 TB each task sorts ~33 TB (the one `weak` item of
+    * VERDICT r10). This formulation sorts only the straddling BUCKETS:
+    *
+    *   1. per-group min/max (broadcast) → equi-width bucket id per row;
+    *   2. per-(group, bucket) counts + bucket min/max — a partial→final
+    *      aggregation, O(groups·1024) shuffle rows;
+    *   3. prefix-sum over the bucket rows locates, for each target rank,
+    *      the one bucket whose cumulative range covers it;
+    *   4. a bucket whose bmin == bmax resolves from the histogram alone
+    *      (a mega-bucket of one repeated value — the heavy-hitter skew
+    *      case — never sorts or shuffles a row);
+    *   5. only the remaining straddling buckets (~n/1024 rows each, ≤
+    *      2·|ps| buckets per group) are scanned again — collapsed to
+    *      (bucket, DISTINCT value) counts first (partial→final, so a
+    *      heavy-hitter value inside a mixed bucket combines map-side to
+    *      one row), then a running count over the bucket's distinct
+    *      values locates the value whose cumulative rank range covers
+    *      the target: global rank = bucket prefix + running count.
+    *
+    * Per-task ceiling: the largest single window partition is one
+    * bucket's DISTINCT values, ≤ n/PctBuckets and typically far smaller
+    * (point masses collapse in step 5); raise PctBuckets or recurse the
+    * locate once if a single group's distinct-values-per-bucket ever
+    * outgrows a task.
+    *
+    * Ranks come from exact integer counts, so the oracle contract is
+    * untouched; the located lo/hi values interpolate with the convex form
     * lo·(1−g) + hi·g (NOT lo + (hi−lo)·g — the forms differ in the last
-    * ulp and both engines use the former). Spark's percentile()
+    * ulp and both engines use the former). Spark's own percentile()
     * aggregate instead buffers every value of a group in memory — the
     * shape that OOMs at 100 TB. `grp` is the group column (small
-    * cardinality); `cnts` must carry (grp, n_rows). */
-  private def exactPcts(rows: DataFrame, cnts: DataFrame, valCol: Column,
+    * cardinality); `cnts` must carry (grp, n_rows).
+    *
+    * The straddler subplans reference the histogram three times; the
+    * identical exchanges dedupe physically (ReusedExchange — verified in
+    * the q35 formatted plan), so the data is scanned, not re-aggregated,
+    * per reference. */
+  private[graft] def exactPcts(rows: DataFrame, cnts: DataFrame, valCol: Column,
       ps: Seq[(Double, String)], grp: String = "l_returnflag"): DataFrame = {
-    def pos(p: Double): Column = (col("n_rows") - 1) * lit(p)
-    def straddles(p: Double): Column =
-      col("rn") - 1 === floor(pos(p)) || col("rn") - 1 === ceil(pos(p))
-    val w = Window.partitionBy(col(grp)).orderBy(col("v"))
-    // ONE sort + window pass serves every requested percentile of this
-    // value column; only the straddling ranks survive the filter
-    val ranked = rows.select(col(grp), valCol.cast("double").as("v"))
-      .withColumn("rn", row_number().over(w))
-      .join(broadcast(cnts), grp)
-      .filter(ps.map { case (p, _) => straddles(p) }.reduce(_ || _))
-    val aggs = ps.flatMap { case (p, out) => Seq(
-      min(when(straddles(p), col("v"))).as(s"lo_$out"),
-      max(when(straddles(p), col("v"))).as(s"hi_$out")) }
+    val parts = pctLocate(rows, cnts, valCol, ps, grp)
+    // degenerate buckets (all values equal) resolve with zero row traffic
+    val direct = parts.located.filter(col("bmin") >= col("bmax"))
+      .select(col(grp), col("pname"), col("side"), col("bmin").as("pv"))
+    val needSort = parts.located.filter(col("bmin") < col("bmax"))
+    val sortBuckets = needSort.select(col(grp), col("b"), col("cum_lo")).distinct()
+    // rank only within straddling buckets, and only over DISTINCT values:
+    // the (grp, b, v) aggregation is partial→final, so a heavy-hitter
+    // value inside a mixed bucket collapses map-side to one (v, count)
+    // row instead of shuffling its every occurrence into one partition
+    val valCnts = parts.bucketed.join(broadcast(sortBuckets), Seq(grp, "b"))
+      .groupBy(col(grp), col("b"), col("cum_lo"), col("v"))
+      .agg(count(lit(1)).as("vc"))
+    // running count over the bucket's distinct values (ties impossible
+    // post-groupBy, so the RANGE frame is exact): value v covers global
+    // ranks (cum_lo + run − vc, cum_lo + run]
+    val wB = Window.partitionBy(col(grp), col("b")).orderBy(col("v"))
+    val run = valCnts.withColumn("hi_r", col("cum_lo") + sum("vc").over(wB))
+    val sorted = run.join(
+      broadcast(needSort.select(col(grp), col("b"), col("pname"),
+        col("side"), col("r"))), Seq(grp, "b"))
+      .filter(col("r") > col("hi_r") - col("vc") && col("r") <= col("hi_r"))
+      .select(col(grp), col("pname"), col("side"), col("v").as("pv"))
+    // pivot the ≤ 2·|ps| rows per group into lo_/hi_ columns, then
+    // interpolate exactly as the r10 formulation did (same expressions,
+    // same values — the oracle is unchanged)
+    val aggs = ps.flatMap { case (_, out) => Seq(
+      min(when(col("pname") === out && col("side") === "lo", col("pv"))).as(s"lo_$out"),
+      min(when(col("pname") === out && col("side") === "hi", col("pv"))).as(s"hi_$out")) }
     val outs = ps.map { case (p, out) =>
-      val frac = pos(p) - floor(pos(p))
+      val frac = pctPos(p) - floor(pctPos(p))
       (col(s"lo_$out") * (lit(1.0) - frac) + col(s"hi_$out") * frac).as(out)
     }
-    ranked.groupBy(col(grp), col("n_rows"))
-      .agg(aggs.head, aggs.tail: _*)
+    direct.unionByName(sorted)
+      .groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+      .join(broadcast(cnts), grp)
       .select(col(grp) +: outs: _*)
   }
 
@@ -544,10 +647,11 @@ object Relational {
       val exacts = li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
-      // the exact p45/p55 envelope comes from the shared sort-based
-      // percentile (q35's scale-safe shape), not the buffering
-      // percentile() aggregate — every aggregation in this query is now
-      // bounded-memory (HLL registers, GK summary, sort + two ranks)
+      // the exact p45/p55 envelope comes from the shared bucketed
+      // rank-locate percentile (q35's scale-safe shape), not the buffering
+      // percentile() aggregate — every aggregation in this query is
+      // bounded-memory (HLL registers, GK summary, bucket histogram +
+      // two straddling-bucket sorts)
       val cnts = sketches.select(col("l_returnflag"), col("n_rows"))
       sketches.join(exacts, "l_returnflag")
         .join(exactPcts(li, cnts, col("l_extendedprice"),
@@ -567,13 +671,12 @@ object Relational {
     // percentile() aggregate is a TypedImperativeAggregate that buffers
     // every (value, count) of a group IN MEMORY — at 100 TB a 3-group
     // lineitem would hold ~rows/3 values per buffer and OOM (the honest
-    // r10 bench action exposed the real cost the old pruned action hid).
-    // This formulation is the distributed classic instead: row_number
-    // over a per-group SORT (WindowExec's sort spills; row_number is a
-    // running frame — no partition buffering), group counts broadcast
-    // back, and each percentile reads exactly the two straddling ranks
-    // and interpolates — quantile_cont semantics, same values (the
-    // oracle is unchanged), bounded memory at any scale.
+    // r10 bench action exposed the real cost the old pruned action hid);
+    // the r10 sort-based fix bounded memory but serialized each group's
+    // full sort through one task. This is the r11 bucket-histogram
+    // rank-locate (see exactPcts): only the straddling buckets sort,
+    // in parallel — quantile_cont semantics, same values (the oracle is
+    // unchanged), bounded memory AND bounded per-task work at any scale.
     "q35_percentiles" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val cnts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
@@ -615,7 +718,10 @@ object Relational {
           Iterator.single((pid, first, prev, cnt, ok))
         }
       }.toDF("pid", "pmin", "pmax", "cnt", "ok")
-      val w = Window.orderBy(col("pid")) // ≤32 rows: tiny single-task window
+      // ≤32 rows (one per partition stat): a deliberate single-task global
+      // window. Spark logs "WindowExec: No Partition Defined" for it in the
+      // bench tail — bounded-by-design, see PLANS.md "global windows".
+      val w = Window.orderBy(col("pid"))
       partStats
         .select(col("cnt"), col("ok"),
           (col("pmin") >= coalesce(lag(col("pmax"), 1).over(w), lit(Long.MinValue)))

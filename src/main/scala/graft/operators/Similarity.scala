@@ -427,14 +427,18 @@ object Similarity {
   // verify/top-k tail are recomputed by DuckDB from the fixtures alone.
   // ss09's drained stream equals batch ss08 by construction (per-batch
   // queries are disjoint and the serve is per-query independent).
-  private val lshDim = 64 // fixture embedding dimensionality (asserted by the gate itself: a dim change would hash-mismatch)
+  // fixture embedding dimensionality (asserted by the gate itself: a dim
+  // change would hash-mismatch)
+  private val lshDim = 64
 
   /** ss10's oracle: the greedy MMR loop UNROLLED one CTE pair per
     * selection step (the OracleMirror k-means discipline — a fixed
     * iteration count becomes a CTE chain). Mirror of MmrSelect's
     * determinism contract: every raw cosine quantizes ONCE to integer
     * 1e-6 units (`CAST(ROUND(cos * 1000000, 0) AS BIGINT)` ==
-    * `Math.round(cos * 1e6)` for the positive range), scoring is exact
+    * `MmrSelect.roundU(cos * 1e6)` on BOTH signs — half away from zero,
+    * the r11 fix for the negative-.5-boundary divergence ADVICE r10
+    * flagged), scoring is exact
     * integer arithmetic `7·rel_u − 3·sim_u`, ties break by c_id — so the
     * two engines take identical argmax branches. */
   private def mmrOracleSql(k: Int): String = {

@@ -8,8 +8,10 @@ import graft.{GraftSession, SparkEntry}
   * re-optimizes the counted plan, and a final left join against a
   * unique-keyed aggregate with no filter (dd16/pp05's audit-table shape)
   * is ELIMINATED, so a `.count()`-based bench times a bare scan instead
-  * of the operator. Bench/Probe/ScaleProbe therefore execute
-  * `queryExecution.toRdd` instead. Run this on any new audit-shaped
+  * of the operator. Bench/Probe/ScaleProbe therefore execute the query's
+  * own plan via `df.write.format("noop")` (raw `queryExecution.toRdd`
+  * intermittently deadlocks AQE's withFinalPlanUpdate — see Bench).
+  * Run this on any new audit-shaped
   * query to see whether a count() would have lied about it.
   * Usage: runMain graft.tools.CountPlanCheck <sfDir> <query...> */
 object CountPlanCheck {

@@ -14,8 +14,11 @@ object Probe {
       // delete the operator under test (see Bench)
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
+      // capture the wall BEFORE the row count — the count is a second
+      // full execution and must not bill the probe (ADVICE r10)
+      val sec = (System.nanoTime() - t0) / 1e9
       val n = df.count()
-      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      println(f"[probe] $name%-28s $sec%8.2f s  ($n rows)")
     }
     spark.stop()
   }

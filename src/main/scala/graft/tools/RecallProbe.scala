@@ -9,7 +9,9 @@ object RecallProbe {
     val sem = graft.SparkEntry.queries("dd10_semantic_dedup")(s, d)
       .collect().filter(r => r.getLong(0) < 500 && r.getLong(1) < 500)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    println(s"[recall] exact=${exact.size} sem=${sem.size} inter=${sem.intersect(exact).size} fp=${sem.diff(exact).size} recall=${sem.intersect(exact).size.toDouble / exact.size}")
+    println(s"[recall] exact=${exact.size} sem=${sem.size} " +
+      s"inter=${sem.intersect(exact).size} fp=${sem.diff(exact).size} " +
+      s"recall=${sem.intersect(exact).size.toDouble / exact.size}")
     val ivf = graft.SparkEntry.queries("ss04_ann_ivf_topk")(s, d)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val topk = graft.SparkEntry.queries("ss01_cosine_topk")(s, d)

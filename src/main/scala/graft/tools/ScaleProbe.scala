@@ -23,6 +23,7 @@ object ScaleProbe {
 
   private val Src = "/root/testdata/sf0.1"
   private val Dst = "/tmp/graft-sf1"
+  private val DstP = "/tmp/graft-sf1p"
 
   /** 10 copies of `df` with `keys` shifted by copy·stride (joint keys
     * shift together across tables, so joins stay valid). */
@@ -56,6 +57,37 @@ object ScaleProbe {
     ()
   }
 
+  /** r11 (VERDICT r10 item 3): the ×10 EXACT-copy corpus saturates the
+    * text operators' worst case (every dd16 window fingerprint occurs
+    * ≥10×, pp08's gate drops every doc) — the right COST probe, but it
+    * leaves the novel-corpus regime unmeasured beyond sf0.1. This tier
+    * replicates documents ×10 with PERTURBED text (the dd13 planted-twin
+    * discipline): copy 0 is the original; copies 1-9 deterministically
+    * rewrite every 16th token (offset rotates with the copy index) so each
+    * copy is a ~94%-similar NEAR-dup twin — new window fingerprints for
+    * dd16, new chunk hashes for pp07, a grown novel vocabulary for tx11.
+    * Only documents.parquet is written: the probed queries read nothing
+    * else, and Tables.load resolves per table.
+    */
+  private def buildPerturbed(s: SparkSession): Unit = {
+    val done = new java.io.File(s"$DstP/_built_r11")
+    if (done.exists()) return
+    val stride = 100000000L
+    val copies = (0 until 10).map { i =>
+      val base = Tables.load(s, Src, "documents")
+        .withColumn("doc_id", col("doc_id") + lit(i * stride))
+      if (i == 0) base
+      else base.withColumn("text", array_join(
+        transform(split(col("text"), " "),
+          (t, j) => when(pmod(j + lit(i * 7), lit(16)) === 0,
+            concat(t, lit("x"), lit(i))).otherwise(t)), " "))
+    }
+    copies.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$DstP/documents.parquet")
+    done.createNewFile()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val tap = new ShuffleMetricsTap(spark.sparkContext)
@@ -82,8 +114,20 @@ object ScaleProbe {
       // measure (the novel-corpus regime is the sf0.1 column). ss10
       // rides the replicated embeddings: same 10 queries, 10× corpus.
       "dd16_substr_dedup", "pp07_chunk_overlap", "pp08_span_clean_chunks",
-      "tx11_lm_coverage", "ss10_mmr_diversify")
-    for (dir <- Seq(Src, Dst); name <- queries) {
+      "tx11_lm_coverage", "ss10_mmr_diversify",
+      // r11: the bucketed rank-locate percentile one decade right — the
+      // r10 sort-based shape's ×10 cold run was 23 s (each group's sort
+      // serialized through one task); the rank-locate bound is scans +
+      // sliver-sized bucket sorts
+      "q35_percentiles", "q37_approx_sketches")
+    buildPerturbed(spark)
+    // the text-operator lane runs on BOTH ×10 regimes: exact-copy (their
+    // saturation worst case, inside `queries` below) and perturbed
+    // near-dup twins (the novel-corpus regime — new fingerprints, grown
+    // vocabulary, gate keeps most docs)
+    val perturbedQueries = Seq("dd16_substr_dedup", "pp07_chunk_overlap",
+      "pp08_span_clean_chunks", "tx11_lm_coverage")
+    def probe(dir: String, name: String): Unit = {
       System.gc()
       tap.harvest()
       val t0 = System.nanoTime()
@@ -102,6 +146,8 @@ object ScaleProbe {
       println(f"SCALEPROBE $dir $name rows=$rows wall=$sec%.2f s " +
         f"shuffle_w=${wb / 1e6}%.1f MB shuffle_r=${rb / 1e6}%.1f MB")
     }
+    for (dir <- Seq(Src, Dst); name <- queries) probe(dir, name)
+    for (name <- perturbedQueries) probe(DstP, name)
     spark.stop()
   }
 }

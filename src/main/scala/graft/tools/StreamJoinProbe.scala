@@ -34,7 +34,11 @@ object StreamJoinProbe {
       case t: Throwable =>
         println("[sjprobe] FAILED: " + t.getClass.getName)
         var c = t.getCause
-        while (c != null) { println("[sjprobe] cause: " + c.getClass.getName + ": " + c.getMessage.take(400)); c = c.getCause }
+        while (c != null) {
+          println("[sjprobe] cause: " + c.getClass.getName + ": " +
+            c.getMessage.take(400))
+          c = c.getCause
+        }
     }
     s.stop()
   }

@@ -7,7 +7,9 @@ import org.apache.spark.internal.Logging
 import org.apache.spark.scheduler.MapStatus
 import org.apache.spark.shuffle._
 import org.apache.spark.shuffle.api.ShuffleExecutorComponents
-import org.apache.spark.shuffle.sort.{BypassMergeSortShuffleHandle, CloudSortWriters, SerializedShuffleHandle, SortShuffleManager, SortShuffleWriter, UnsafeShuffleWriter}
+import org.apache.spark.shuffle.sort.{BypassMergeSortShuffleHandle,
+  CloudSortWriters, SerializedShuffleHandle, SortShuffleManager,
+  SortShuffleWriter, UnsafeShuffleWriter}
 import org.apache.spark.storage.FallbackStorage
 
 /** Cloud-backed `ShuffleManager`: shuffle data lives on a Hadoop-FS object

