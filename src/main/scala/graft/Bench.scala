@@ -89,8 +89,22 @@ object Bench {
     // checkpointed jobs measuring state-store/checkpoint I/O, not engine
     // throughput (the reference is batch-only); they are gated by Verify
     // and benched by BenchStream's own lane
+    // SPARK_GRAFT_BENCH_ONLY=q05,ts01,... restricts the sweep — used for
+    // the derived-sf1 A/B lane, where the replication scheme makes a few
+    // self-join queries superlinear BY CONSTRUCTION (rep10 shifts join
+    // keys but not user_id/ts, so q40's per-user interval pairs grow
+    // ~100× — a fixture artifact, not an operator property) and the
+    // overhead question only needs the shuffle-heavy subset anyway.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => SparkEntry.streamingQueries.contains(name) }
+      .filter { case (name, _) => only.forall(o => o.contains(short(name))) }
+    only.foreach { o =>
+      val known = SparkEntry.queries.keySet.map(short)
+      val unknown = o.diff(known)
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY unknown ids: $unknown")
+    }
     require(ordered.map(n => short(n._1)).toSet.size == ordered.size,
       "shortened bench keys must stay unique")
 
