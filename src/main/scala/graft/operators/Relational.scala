@@ -34,6 +34,12 @@ object Relational {
     * and the scale spec that asserts the sort footprint. */
   private[graft] final case class PctLocated(bucketed: DataFrame, located: DataFrame)
 
+  /** Level-2 refinement output: `values` is the straddling buckets'
+    * per-(sub-bucket, DISTINCT value) count table (one scan, reused by the
+    * rank pass through exchange reuse); `located` is the sub-bucket
+    * holding each target rank (≤ 2·|ps|·groups rows). */
+  private[graft] final case class PctRefined(values: DataFrame, located: DataFrame)
+
   private def pctPos(p: Double): Column = (col("n_rows") - 1) * lit(p)
 
   /** Rank-locate phase of the bucketed exact percentile (shape designed in
@@ -77,6 +83,49 @@ object Relational {
     PctLocated(bucketed, located)
   }
 
+  /** Level-2 rank locate (r11): range-adaptive refinement of the
+    * straddling buckets. Each non-degenerate straddler re-buckets its OWN
+    * rows over its OWN [bmin, bmax] — resolution multiplies by PctBuckets
+    * exactly where the rank lives, which also defuses the equi-width
+    * outlier trap (one extreme value compressing a heavy-tailed column's
+    * dense range into a single level-1 bucket would otherwise funnel the
+    * whole group into one rank-pass partition). Same exact-integer-rank
+    * contract as level 1. */
+  private[graft] def pctRefine(parts: PctLocated, grp: String): PctRefined = {
+    val nb = PctBuckets
+    val need1 = parts.located.filter(col("bmin") < col("bmax"))
+    val buckets1 = need1
+      .select(col(grp), col("b"), col("cum_lo"), col("bmin"), col("bmax"))
+      .distinct()
+    // bmax > bmin strictly here (degenerates filtered), so the scaled
+    // offset is well-defined and monotone
+    val sbCol = least(floor((col("v") - col("bmin")) /
+      (col("bmax") - col("bmin")) * nb).cast("int"), lit(nb - 1))
+    // ONE scan serves both the sub-histogram and the rank pass: collapse
+    // the straddler rows to per-(bucket, DISTINCT value) counts FIRST —
+    // partial→final, so point masses combine map-side and the shuffle is
+    // O(distinct values inside straddling buckets), never O(their rows) —
+    // then derive the sub-bucket id on the aggregated rows (it is a pure
+    // function of (v, bmin, bmax), so no second scan of the data exists
+    // anywhere in level 2; this keeps the scan count identical to a
+    // single-level locate)
+    val valueHist = parts.bucketed.join(broadcast(buckets1), Seq(grp, "b"))
+      .groupBy(col(grp), col("b"), col("cum_lo"), col("bmin"), col("bmax"),
+        col("v"))
+      .agg(count(lit(1)).as("vc"))
+      .withColumn("sb", sbCol)
+    val subHist = valueHist.groupBy(col(grp), col("b"), col("cum_lo"), col("sb"))
+      .agg(sum("vc").as("sc"), min("v").as("sbmin"), max("v").as("sbmax"))
+    val wSub = Window.partitionBy(col(grp), col("b")).orderBy(col("sb"))
+    val subCum = subHist.withColumn("cum2_lo",
+      col("cum_lo") + sum("sc").over(wSub) - col("sc"))
+    val located2 = need1.select(col(grp), col("b"), col("pname"),
+        col("side"), col("r"))
+      .join(subCum, Seq(grp, "b"))
+      .filter(col("r") > col("cum2_lo") && col("r") <= col("cum2_lo") + col("sc"))
+    PctRefined(valueHist, located2)
+  }
+
   /** Exact interpolated percentile (quantile_cont semantics) the scale-safe
     * way, shared by q35 and q37: bucket-histogram rank-locate. The r10
     * sort-based formulation (row_number over a per-group sort) had bounded
@@ -100,11 +149,16 @@ object Relational {
     *      values locates the value whose cumulative rank range covers
     *      the target: global rank = bucket prefix + running count.
     *
-    * Per-task ceiling: the largest single window partition is one
-    * bucket's DISTINCT values, ≤ n/PctBuckets and typically far smaller
-    * (point masses collapse in step 5); raise PctBuckets or recurse the
-    * locate once if a single group's distinct-values-per-bucket ever
-    * outgrows a task.
+    * Between steps 4 and 5 sits a SECOND locate level (r11, closing the
+    * documented residual): each straddling bucket re-buckets its own rows
+    * over its own [bmin, bmax] — range-ADAPTIVE refinement, so a single
+    * outlier that compresses the group's global range into one dense
+    * bucket (the equi-width failure mode: 99% of a heavy-tailed column in
+    * bucket 0) gains ×1024 resolution exactly where the rank lives. The
+    * per-task ceiling for step 5 is one SUB-bucket's distinct values ≤
+    * n/PctBuckets², ~10⁶ rows at a 10¹²-row group, and degenerate
+    * sub-buckets (point masses) still answer from the sub-histogram with
+    * zero row traffic.
     *
     * Ranks come from exact integer counts, so the oracle contract is
     * untouched; the located lo/hi values interpolate with the convex form
@@ -122,27 +176,31 @@ object Relational {
       ps: Seq[(Double, String)], grp: String = "l_returnflag"): DataFrame = {
     val parts = pctLocate(rows, cnts, valCol, ps, grp)
     // degenerate buckets (all values equal) resolve with zero row traffic
-    val direct = parts.located.filter(col("bmin") >= col("bmax"))
+    val direct1 = parts.located.filter(col("bmin") >= col("bmax"))
       .select(col(grp), col("pname"), col("side"), col("bmin").as("pv"))
-    val needSort = parts.located.filter(col("bmin") < col("bmax"))
-    val sortBuckets = needSort.select(col(grp), col("b"), col("cum_lo")).distinct()
-    // rank only within straddling buckets, and only over DISTINCT values:
-    // the (grp, b, v) aggregation is partial→final, so a heavy-hitter
-    // value inside a mixed bucket collapses map-side to one (v, count)
-    // row instead of shuffling its every occurrence into one partition
-    val valCnts = parts.bucketed.join(broadcast(sortBuckets), Seq(grp, "b"))
-      .groupBy(col(grp), col("b"), col("cum_lo"), col("v"))
-      .agg(count(lit(1)).as("vc"))
-    // running count over the bucket's distinct values (ties impossible
+    val refined = pctRefine(parts, grp)
+    val direct2 = refined.located.filter(col("sbmin") >= col("sbmax"))
+      .select(col(grp), col("pname"), col("side"), col("sbmin").as("pv"))
+    val need2 = refined.located.filter(col("sbmin") < col("sbmax"))
+
+    // ---- rank pass, only within straddling SUB-buckets, over the
+    // already-collapsed DISTINCT-value counts (refined.values — the same
+    // aggregation the sub-histogram derived from, so its exchange reuses)
+    val sortBuckets = need2
+      .select(col(grp), col("b"), col("sb"), col("cum2_lo")).distinct()
+    val valCnts = refined.values
+      .join(broadcast(sortBuckets), Seq(grp, "b", "sb"))
+    // running count over the sub-bucket's distinct values (ties impossible
     // post-groupBy, so the RANGE frame is exact): value v covers global
-    // ranks (cum_lo + run − vc, cum_lo + run]
-    val wB = Window.partitionBy(col(grp), col("b")).orderBy(col("v"))
-    val run = valCnts.withColumn("hi_r", col("cum_lo") + sum("vc").over(wB))
+    // ranks (cum2_lo + run − vc, cum2_lo + run]
+    val wB = Window.partitionBy(col(grp), col("b"), col("sb")).orderBy(col("v"))
+    val run = valCnts.withColumn("hi_r", col("cum2_lo") + sum("vc").over(wB))
     val sorted = run.join(
-      broadcast(needSort.select(col(grp), col("b"), col("pname"),
-        col("side"), col("r"))), Seq(grp, "b"))
+      broadcast(need2.select(col(grp), col("b"), col("sb"), col("pname"),
+        col("side"), col("r"))), Seq(grp, "b", "sb"))
       .filter(col("r") > col("hi_r") - col("vc") && col("r") <= col("hi_r"))
       .select(col(grp), col("pname"), col("side"), col("v").as("pv"))
+    val direct = direct1.unionByName(direct2)
     // pivot the ≤ 2·|ps| rows per group into lo_/hi_ columns, then
     // interpolate exactly as the r10 formulation did (same expressions,
     // same values — the oracle is unchanged)

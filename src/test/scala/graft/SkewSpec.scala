@@ -262,4 +262,48 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"straddler buckets should collapse to ≤ ~1000 distinct values, " +
         s"got $distinctInStraddlers")
   }
+
+  test("percentile rank-locate: an outlier-compressed range refines at level 2") {
+    // The equi-width failure mode level 2 exists for: a heavy-tailed
+    // column whose single outlier (1e12) stretches the group range so the
+    // DENSE 99.99% of values (distinct doubles in [0, 1000)) all land in
+    // level-1 bucket 0 — non-degenerate, holding ~the whole group. The
+    // level-1 locate alone would funnel everything into one rank-pass
+    // partition; the range-adaptive level-2 re-bucket over the dense
+    // bucket's own [bmin, bmax] must cut the rank-pass footprint back to
+    // a sliver, and the answer must stay exact.
+    val ss = spark
+    import ss.implicits._
+    val n = 400000L
+    val rows = ss.range(n).select(lit("O").as("g"),
+      when(col("id") === 0, lit(1e12))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000000L)).cast("double") / 1000.0)
+        .as("x"))
+    val cnts = rows.groupBy("g").agg(count(lit(1)).as("n_rows"))
+    val ps = Seq(0.5 -> "p50")
+
+    val parts = graft.operators.Relational.pctLocate(rows, cnts, col("x"), ps, "g")
+    // level 1 IS compressed: the straddler bucket holds ~the whole group
+    val lvl1Rows = parts.located.filter(col("bmin") < col("bmax"))
+      .agg(coalesce(sum(col("bc")), lit(0L))).as[Long].head()
+    assert(lvl1Rows > n / 2,
+      s"expected the outlier to compress level 1 (straddler ≈ group), got $lvl1Rows")
+    // level 2 refines: the located sub-buckets carry a sliver
+    val lvl2Rows = graft.operators.Relational.pctRefine(parts, "g").located
+      .filter(col("sbmin") < col("sbmax"))
+      .agg(coalesce(sum(col("sc")), lit(0L))).as[Long].head()
+    info(s"rank-pass footprint: level-1 $lvl1Rows → level-2 $lvl2Rows of $n rows")
+    assert(lvl2Rows < n / 100,
+      s"level-2 footprint $lvl2Rows is not a sliver of the $n-row group")
+
+    // exactness under the outlier, bit-identical to the local quantile
+    val got = graft.operators.Relational
+      .exactPcts(rows, cnts, col("x"), ps, "g").collect()(0)
+    val xs = rows.select(col("x")).as[Double].collect().sorted
+    val pos = (xs.length - 1) * 0.5
+    val frac = pos - math.floor(pos)
+    val want = xs(math.floor(pos).toInt) * (1.0 - frac) +
+      xs(math.ceil(pos).toInt) * frac
+    assert(got.getDouble(1) == want, s"got ${got.getDouble(1)}, want $want")
+  }
 }
