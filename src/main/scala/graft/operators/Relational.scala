@@ -46,42 +46,64 @@ object Relational {
     * r10, SCALE.md §"exact percentiles"): equi-width bucket histogram →
     * prefix sum over the ~10³ bucket rows → for each target rank, the ONE
     * bucket whose cumulative range covers it. All ranks are exact integer
-    * counts, so bucketing changes which rows are scanned, never the result. */
-  private[graft] def pctLocate(rows: DataFrame, cnts: DataFrame, valCol: Column,
-      ps: Seq[(Double, String)], grp: String): PctLocated = {
+    * counts, so bucketing changes which rows are scanned, never the result.
+    *
+    * Multi-column (r11 action economy): several value columns locate in
+    * ONE pipeline — the rows explode to (grp, cid, v) so one scan buckets
+    * every column, and every downstream key gains the column id. q35's two
+    * value columns share one scan+histogram instead of running the whole
+    * pipeline twice. */
+  private[graft] def pctLocateCols(rows: DataFrame, cnts: DataFrame,
+      colsPs: Seq[(Column, Seq[(Double, String)])], grp: String): PctLocated = {
     val nb = PctBuckets
-    val vals = rows.select(col(grp), valCol.cast("double").as("v"))
-    // pass 1: per-group value range (3-row aggregate, broadcast back)
-    val ranges = vals.groupBy(grp).agg(min("v").as("vmin"), max("v").as("vmax"))
+    val vals = rows.select(col(grp), explode(array(colsPs.zipWithIndex.map {
+      case ((c, _), i) =>
+        struct(lit(i).as("cid"), c.cast("double").as("v"))
+    }: _*)).as("t")).select(col(grp), col("t.cid").as("cid"), col("t.v").as("v"))
+    // pass 1: per-(group, column) value range (tiny aggregate, broadcast)
+    val ranges = vals.groupBy(col(grp), col("cid"))
+      .agg(min("v").as("vmin"), max("v").as("vmax"))
     // order-preserving bucket id in [0, nb): floor of the scaled offset —
     // monotone in v (multiplication/division by a positive constant and
     // floor are monotone in IEEE doubles), so bucket ranges partition the
-    // per-group rank space
+    // per-(group, column) rank space
     val bCol = when(col("vmax") <= col("vmin"), lit(0)).otherwise(
       least(floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * nb)
         .cast("int"), lit(nb - 1)))
-    val bucketed = vals.join(broadcast(ranges), grp)
-      .select(col(grp), col("v"), bCol.as("b"))
-    // pass 2: per-(group, bucket) histogram — partial→final agg whose
-    // shuffle volume is O(groups·nb), never O(rows)
-    val hist = bucketed.groupBy(col(grp), col("b"))
+    val bucketed = vals.join(broadcast(ranges), Seq(grp, "cid"))
+      .select(col(grp), col("cid"), col("v"), bCol.as("b"))
+    // pass 2: per-(group, column, bucket) histogram — partial→final agg
+    // whose shuffle volume is O(groups·cols·nb), never O(rows)
+    val hist = bucketed.groupBy(col(grp), col("cid"), col("b"))
       .agg(count(lit(1)).as("bc"), min("v").as("bmin"), max("v").as("bmax"))
     val cum = hist.withColumn("cum_lo",
-      sum("bc").over(Window.partitionBy(col(grp)).orderBy(col("b"))) - col("bc"))
+      sum("bc").over(Window.partitionBy(col(grp), col("cid"))
+        .orderBy(col("b"))) - col("bc"))
     // target ranks, 1-based, two per percentile (floor/ceil of the
-    // fractional position — the same expressions the interpolation uses)
-    val targets = cnts.select(col(grp), explode(array(ps.flatMap {
-      case (p, out) => Seq(
-        struct(lit(out).as("pname"), lit("lo").as("side"),
-          (floor(pctPos(p)) + 1).cast("long").as("r")),
-        struct(lit(out).as("pname"), lit("hi").as("side"),
-          (ceil(pctPos(p)) + 1).cast("long").as("r")))
-    }: _*)).as("t")).select(col(grp), col("t.pname"), col("t.side"), col("t.r"))
-    // locate: both sides are tiny (2·|ps|·groups × groups·nb rows)
-    val located = targets.join(cum, Seq(grp))
+    // fractional position — the same expressions the interpolation uses).
+    // n_rows is shared by every column: all values come from the same rows.
+    val targets = cnts.select(col(grp),
+      explode(array(colsPs.zipWithIndex.flatMap { case ((_, ps), i) =>
+        ps.flatMap { case (p, out) => Seq(
+          struct(lit(i).as("cid"), lit(out).as("pname"),
+            lit("lo").as("side"), (floor(pctPos(p)) + 1).cast("long").as("r")),
+          struct(lit(i).as("cid"), lit(out).as("pname"),
+            lit("hi").as("side"), (ceil(pctPos(p)) + 1).cast("long").as("r")))
+        }
+      }: _*)).as("t"))
+      .select(col(grp), col("t.cid").as("cid"), col("t.pname").as("pname"),
+        col("t.side").as("side"), col("t.r").as("r"))
+    // locate: both sides are tiny (2·Σ|ps|·groups × groups·cols·nb rows)
+    val located = targets.join(cum, Seq(grp, "cid"))
       .filter(col("r") > col("cum_lo") && col("r") <= col("cum_lo") + col("bc"))
     PctLocated(bucketed, located)
   }
+
+  /** Single-column convenience over [[pctLocateCols]] (the scale specs
+    * exercise the pipeline through this). */
+  private[graft] def pctLocate(rows: DataFrame, cnts: DataFrame, valCol: Column,
+      ps: Seq[(Double, String)], grp: String): PctLocated =
+    pctLocateCols(rows, cnts, Seq((valCol, ps)), grp)
 
   /** Level-2 rank locate (r11): range-adaptive refinement of the
     * straddling buckets. Each non-degenerate straddler re-buckets its OWN
@@ -95,7 +117,8 @@ object Relational {
     val nb = PctBuckets
     val need1 = parts.located.filter(col("bmin") < col("bmax"))
     val buckets1 = need1
-      .select(col(grp), col("b"), col("cum_lo"), col("bmin"), col("bmax"))
+      .select(col(grp), col("cid"), col("b"), col("cum_lo"),
+        col("bmin"), col("bmax"))
       .distinct()
     // bmax > bmin strictly here (degenerates filtered), so the scaled
     // offset is well-defined and monotone
@@ -109,19 +132,20 @@ object Relational {
     // function of (v, bmin, bmax), so no second scan of the data exists
     // anywhere in level 2; this keeps the scan count identical to a
     // single-level locate)
-    val valueHist = parts.bucketed.join(broadcast(buckets1), Seq(grp, "b"))
-      .groupBy(col(grp), col("b"), col("cum_lo"), col("bmin"), col("bmax"),
-        col("v"))
+    val valueHist = parts.bucketed.join(broadcast(buckets1), Seq(grp, "cid", "b"))
+      .groupBy(col(grp), col("cid"), col("b"), col("cum_lo"),
+        col("bmin"), col("bmax"), col("v"))
       .agg(count(lit(1)).as("vc"))
       .withColumn("sb", sbCol)
-    val subHist = valueHist.groupBy(col(grp), col("b"), col("cum_lo"), col("sb"))
+    val subHist = valueHist
+      .groupBy(col(grp), col("cid"), col("b"), col("cum_lo"), col("sb"))
       .agg(sum("vc").as("sc"), min("v").as("sbmin"), max("v").as("sbmax"))
-    val wSub = Window.partitionBy(col(grp), col("b")).orderBy(col("sb"))
+    val wSub = Window.partitionBy(col(grp), col("cid"), col("b")).orderBy(col("sb"))
     val subCum = subHist.withColumn("cum2_lo",
       col("cum_lo") + sum("sc").over(wSub) - col("sc"))
-    val located2 = need1.select(col(grp), col("b"), col("pname"),
+    val located2 = need1.select(col(grp), col("cid"), col("b"), col("pname"),
         col("side"), col("r"))
-      .join(subCum, Seq(grp, "b"))
+      .join(subCum, Seq(grp, "cid", "b"))
       .filter(col("r") > col("cum2_lo") && col("r") <= col("cum2_lo") + col("sc"))
     PctRefined(valueHist, located2)
   }
@@ -172,9 +196,13 @@ object Relational {
     * identical exchanges dedupe physically (ReusedExchange — verified in
     * the q35 formatted plan), so the data is scanned, not re-aggregated,
     * per reference. */
-  private[graft] def exactPcts(rows: DataFrame, cnts: DataFrame, valCol: Column,
-      ps: Seq[(Double, String)], grp: String = "l_returnflag"): DataFrame = {
-    val parts = pctLocate(rows, cnts, valCol, ps, grp)
+  private[graft] def exactPctsCols(rows: DataFrame, cnts: DataFrame,
+      colsPs: Seq[(Column, Seq[(Double, String)])],
+      grp: String = "l_returnflag"): DataFrame = {
+    val allPs = colsPs.flatMap(_._2)
+    require(allPs.map(_._2).distinct.size == allPs.size,
+      "percentile output names must be globally unique across columns")
+    val parts = pctLocateCols(rows, cnts, colsPs, grp)
     // degenerate buckets (all values equal) resolve with zero row traffic
     val direct1 = parts.located.filter(col("bmin") >= col("bmax"))
       .select(col(grp), col("pname"), col("side"), col("bmin").as("pv"))
@@ -187,27 +215,30 @@ object Relational {
     // already-collapsed DISTINCT-value counts (refined.values — the same
     // aggregation the sub-histogram derived from, so its exchange reuses)
     val sortBuckets = need2
-      .select(col(grp), col("b"), col("sb"), col("cum2_lo")).distinct()
+      .select(col(grp), col("cid"), col("b"), col("sb"), col("cum2_lo"))
+      .distinct()
     val valCnts = refined.values
-      .join(broadcast(sortBuckets), Seq(grp, "b", "sb"))
+      .join(broadcast(sortBuckets), Seq(grp, "cid", "b", "sb"))
     // running count over the sub-bucket's distinct values (ties impossible
     // post-groupBy, so the RANGE frame is exact): value v covers global
     // ranks (cum2_lo + run − vc, cum2_lo + run]
-    val wB = Window.partitionBy(col(grp), col("b"), col("sb")).orderBy(col("v"))
+    val wB = Window.partitionBy(col(grp), col("cid"), col("b"), col("sb"))
+      .orderBy(col("v"))
     val run = valCnts.withColumn("hi_r", col("cum2_lo") + sum("vc").over(wB))
     val sorted = run.join(
-      broadcast(need2.select(col(grp), col("b"), col("sb"), col("pname"),
-        col("side"), col("r"))), Seq(grp, "b", "sb"))
+      broadcast(need2.select(col(grp), col("cid"), col("b"), col("sb"),
+        col("pname"), col("side"), col("r"))), Seq(grp, "cid", "b", "sb"))
       .filter(col("r") > col("hi_r") - col("vc") && col("r") <= col("hi_r"))
       .select(col(grp), col("pname"), col("side"), col("v").as("pv"))
     val direct = direct1.unionByName(direct2)
-    // pivot the ≤ 2·|ps| rows per group into lo_/hi_ columns, then
+    // pivot the ≤ 2·Σ|ps| rows per group into lo_/hi_ columns, then
     // interpolate exactly as the r10 formulation did (same expressions,
-    // same values — the oracle is unchanged)
-    val aggs = ps.flatMap { case (_, out) => Seq(
+    // same values — the oracle is unchanged; pname is globally unique, so
+    // the pivot needs no cid)
+    val aggs = allPs.flatMap { case (_, out) => Seq(
       min(when(col("pname") === out && col("side") === "lo", col("pv"))).as(s"lo_$out"),
       min(when(col("pname") === out && col("side") === "hi", col("pv"))).as(s"hi_$out")) }
-    val outs = ps.map { case (p, out) =>
+    val outs = allPs.map { case (p, out) =>
       val frac = pctPos(p) - floor(pctPos(p))
       (col(s"lo_$out") * (lit(1.0) - frac) + col(s"hi_$out") * frac).as(out)
     }
@@ -216,6 +247,12 @@ object Relational {
       .join(broadcast(cnts), grp)
       .select(col(grp) +: outs: _*)
   }
+
+  /** Single-column convenience over [[exactPctsCols]] (q37's envelope and
+    * the scale specs). */
+  private[graft] def exactPcts(rows: DataFrame, cnts: DataFrame, valCol: Column,
+      ps: Seq[(Double, String)], grp: String = "l_returnflag"): DataFrame =
+    exactPctsCols(rows, cnts, Seq((valCol, ps)), grp)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -738,9 +775,11 @@ object Relational {
     "q35_percentiles" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val cnts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
-      exactPcts(li, cnts, col("l_quantity"), Seq(0.5 -> "median_qty"))
-        .join(exactPcts(li, cnts, col("l_extendedprice"),
-          Seq(0.25 -> "p25_price", 0.75 -> "p75_price")), "l_returnflag")
+      // both value columns ride ONE locate pipeline (explode to (grp, cid,
+      // v) — one scan, one histogram, one refine; r11 action economy)
+      exactPctsCols(li, cnts, Seq(
+        col("l_quantity") -> Seq(0.5 -> "median_qty"),
+        col("l_extendedprice") -> Seq(0.25 -> "p25_price", 0.75 -> "p75_price")))
         .join(cnts, "l_returnflag")
     }),
 
