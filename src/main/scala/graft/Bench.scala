@@ -97,14 +97,20 @@ object Bench {
     // overhead question only needs the shuffle-heavy subset anyway.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val batch = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => SparkEntry.streamingQueries.contains(name) }
+    val ordered = batch
       .filter { case (name, _) => only.forall(o => o.contains(short(name))) }
     only.foreach { o =>
-      val known = SparkEntry.queries.keySet.map(short)
+      // validate against the BATCH set: a streaming id would pass a
+      // queries-wide check and then be silently dropped by the filterNot
+      // above — a zero-query sweep emitting total 0.0 looks like a result
+      val known = batch.map(q => short(q._1)).toSet
       val unknown = o.diff(known)
-      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY unknown ids: $unknown")
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY ids not in the batch sweep: $unknown")
     }
+    require(ordered.nonEmpty, "SPARK_GRAFT_BENCH_ONLY selected zero queries")
     require(ordered.map(n => short(n._1)).toSet.size == ordered.size,
       "shortened bench keys must stay unique")
 
@@ -126,6 +132,11 @@ object Bench {
     // the lanes to bound the bias; the order rides on the JSON line.
     val ab = sys.env.getOrElse("SPARK_GRAFT_AB", "1") != "0"
     val abOrder = sys.env.getOrElse("SPARK_GRAFT_AB_ORDER", "plugin-first")
+    // a typo'd order value would silently run plugin-first while stamping
+    // the bogus string into the artifact's ab_order field — the JIT-bias
+    // bounding run would be recorded as having happened when it didn't
+    require(abOrder == "plugin-first" || abOrder == "default-first",
+      s"SPARK_GRAFT_AB_ORDER must be plugin-first or default-first: $abOrder")
     def lane(usePlugin: Boolean): Map[String, Stat] = {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -145,7 +156,14 @@ object Bench {
     val qs = plugin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + short(k) + "\":" + ms(v.med) }
       .mkString("{", ",", "}")
-    val total = if (plugin.nonEmpty) plugin.values.map(_.med).sum else 0.0
+    // failures must read as failures, not a faster total (the BenchStream
+    // rule): exclude -1 sentinels from the sum and NAME the failed queries
+    // on the line — a dropped failure would otherwise shave a second off
+    // the headline and hide the query's real cost entirely
+    val total = plugin.values.map(_.med).filter(_ >= 0).sum
+    val failed = plugin.toSeq.sortBy(_._1)
+      .collect { case (k, v) if v.med < 0 => "\"" + short(k) + "\"" }
+      .mkString("[", ",", "]")
     // per-query overhead ratio (plugin med / default med), for queries
     // where both lanes succeeded and the default med is non-trivial
     // (sub-100ms queries are scheduling noise, not shuffle cost)
@@ -168,7 +186,8 @@ object Bench {
     // median-of-3 total has been mistaken for a single contended pass
     // (VERDICT r8 perf section)
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      s""""method":"median3"$overheadSummary,"queries":$qs,"sf":"$sfDir"}"""
+      s""""method":"median3","failed":$failed$overheadSummary,""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
     val detail = plugin.toSeq.sortBy(_._1).map { case (k, v) =>
       val dPart = default.get(k).map(dv =>
         ",\"default_med_s\":" + ms(dv.med) +
@@ -187,7 +206,7 @@ object Bench {
     // methodology marker + per-query detail (incl. the A/B columns) +
     // shuffle totals.
     val rich = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""method":"median-of-3-interleaved"$overheadSummary,""" +
+      s""""method":"median-of-3-interleaved","failed":$failed$overheadSummary,""" +
       s""""shuffle_write_bytes":$totW,"shuffle_read_bytes":$totR,""" +
       s""""detail":$detail}"""
     val out = java.nio.file.Paths.get("target/bench.json")

@@ -91,6 +91,11 @@ object BenchStream {
 
     val ab = sys.env.getOrElse("SPARK_GRAFT_STREAM_AB", "1") != "0"
     val abOrder = sys.env.getOrElse("SPARK_GRAFT_STREAM_AB_ORDER", "plugin-first")
+    // a typo'd order value would silently run plugin-first while stamping
+    // the bogus string into ab_order — the JIT-bias bounding run would be
+    // recorded as having happened when it didn't (same guard as Bench)
+    require(abOrder == "plugin-first" || abOrder == "default-first",
+      s"SPARK_GRAFT_STREAM_AB_ORDER must be plugin-first or default-first: $abOrder")
     val (results, default) =
       if (!ab) (lane(usePlugin = true), Map.empty[String, Stat])
       else if (abOrder == "default-first") {
@@ -114,8 +119,13 @@ object BenchStream {
     val total = results.values.map(_.med).filter(_ >= 0).sum
     // a silently-dropped failure would make the total look FASTER (ADVICE
     // r9): name the failed queries on the line so a smaller total over
-    // fewer queries cannot read as an improvement
+    // fewer queries cannot read as an improvement. The same rule covers
+    // the DEFAULT lane: a drain failing only under the sort manager would
+    // otherwise silently shrink default_total next to a full plugin total.
     val failed = results.toSeq.sortBy(_._1)
+      .collect { case (k, v) if v.med < 0 => "\"" + short(k) + "\"" }
+      .mkString("[", ",", "]")
+    val defaultFailed = default.toSeq.sortBy(_._1)
       .collect { case (k, v) if v.med < 0 => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val overheadPart = if (default.isEmpty) "" else {
@@ -126,12 +136,14 @@ object BenchStream {
         } yield p.med / d.med
       }.sorted
       val defTotal = default.values.map(_.med).filter(_ >= 0).sum
-      if (ratios.isEmpty) s""","default_total":${ms(defTotal)}"""
+      val defPart =
+        s""","default_total":${ms(defTotal)},"default_failed":$defaultFailed"""
+      if (ratios.isEmpty) defPart
       else {
         val medR = ratios(ratios.size / 2)
         val p90 = ratios(math.min(ratios.size - 1, (ratios.size * 9) / 10))
-        s""","default_total":${ms(defTotal)},""" +
-          s""""plugin_overhead_med":${ms(medR)},""" +
+        defPart +
+          s""","plugin_overhead_med":${ms(medR)},""" +
           s""""plugin_overhead_p90":${ms(p90)},"ab_order":"$abOrder""""
       }
     }

@@ -45,8 +45,10 @@ import org.apache.spark.sql.types._
   * Degenerate inputs, pinned: a zero-norm or empty candidate vector has
   * no defined cosine — its pairwise similarity is taken as 0 (treated as
   * orthogonal, so it carries no diversity penalty and imposes none); a
-  * non-finite relevance quantizes to rel_u = 0 (NaN through roundU).
-  * Null array elements and null struct fields are skipped entirely.
+  * non-finite relevance (NaN or ±Infinity) quantizes to rel_u = 0
+  * (roundU pins all non-finite inputs, so the integer scoring can never
+  * overflow on a degenerate upstream cosine). Null array elements and
+  * null struct fields are skipped entirely.
   */
 case class MmrSelect(child: Expression, k: Int, relWeight: Int, divWeight: Int)
     extends UnaryExpression with CodegenFallback {
@@ -175,6 +177,12 @@ object MmrSelect {
   /** Half-away-from-zero rounding on both signs — DuckDB ROUND semantics.
     * Java's Math.round is floor(x + 0.5) (half-UP), which disagrees on
     * exact negative .5 boundaries: Math.round(-2.5) == -2 but DuckDB
-    * ROUND(-2.5) == -3. NaN rounds to 0 (deterministic both branches). */
-  def roundU(x: Double): Long = if (x < 0) -Math.round(-x) else Math.round(x)
+    * ROUND(-2.5) == -3. ALL non-finite inputs pin to 0 — NaN would fall
+    * out of Math.round as 0 anyway, but ±Infinity would otherwise round
+    * to ±Long.MaxValue and overflow the integer scoring (relWeight·rel_u),
+    * so the degenerate-input contract covers them explicitly. */
+  def roundU(x: Double): Long =
+    if (!java.lang.Double.isFinite(x)) 0L
+    else if (x < 0) -Math.round(-x)
+    else Math.round(x)
 }

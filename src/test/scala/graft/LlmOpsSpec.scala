@@ -272,7 +272,11 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(roundU(2.4) == 2L && roundU(-2.4) == -2L)
     assert(roundU(0.5) == 1L && roundU(-0.5) == -1L)
     assert(roundU(0.0) == 0L && roundU(-0.0) == 0L)
+    // ALL non-finite inputs pin to 0 — ±Inf through plain Math.round
+    // would be ±Long.MaxValue and overflow the integer scoring
     assert(roundU(Double.NaN) == 0L)
+    assert(roundU(Double.PositiveInfinity) == 0L)
+    assert(roundU(Double.NegativeInfinity) == 0L)
     assert(Math.round(-2.5) == -2L, "if Java changes semantics, revisit")
   }
 
