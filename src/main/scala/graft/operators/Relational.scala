@@ -34,13 +34,56 @@ object Relational {
     * and the scale spec that asserts the sort footprint. */
   private[graft] final case class PctLocated(bucketed: DataFrame, located: DataFrame)
 
-  /** Level-2 refinement output: `values` is the straddling buckets'
-    * per-(sub-bucket, DISTINCT value) count table (one scan, reused by the
-    * rank pass through exchange reuse); `located` is the sub-bucket
-    * holding each target rank (≤ 2·|ps|·groups rows). */
-  private[graft] final case class PctRefined(values: DataFrame, located: DataFrame)
+  /** Gate for the adaptive refine (r12): a straddling bucket of at most
+    * this many ROWS resolves directly via the distinct-value rank pass —
+    * at most this many values sort in ONE streaming window partition,
+    * microseconds for a task — so only a bigger bucket pays the two extra
+    * sub-histogram stages a refine level costs. A spread distribution's
+    * straddlers hold ~n/1024 rows, so every fixture scale up to n ≈ 4M
+    * rows/group resolves entirely at level 1; the compressed-histogram
+    * tiers (one outlier stretching the range) exceed the gate and refine. */
+  private[graft] val PctSmallBucket = 4096L
+
+  /** Default unroll depth of the adaptive resolve. Resolution multiplies
+    * by [[PctBuckets]] per level, so depth d bounds the final rank-pass
+    * partition by n/PctBuckets^d distinct values — at the default d = 2
+    * (locate + one refine + forced final pass) a 10¹²-row group's worst
+    * task ranks ~10⁶ values, the same ceiling r11 documented. Deeper
+    * unrolls are caller-requested (`depth` on [[exactPctsCols]]): each
+    * unrolled level is runtime-elided by AQE when its frontier is empty,
+    * but still costs a fixed ~0.5 s of planning + sequential
+    * stage-materialization latency at interactive scale (measured at
+    * sf0.1; invisible at cluster scale), so the default stays at the
+    * ceiling that covers every distribution short of NESTED outlier
+    * compression — SkewSpec's doubly-compressed tier proves depth 3
+    * composes when a corpus needs it. */
+  private[graft] val PctDepth = 2
+
+  /** One adaptive resolution level's output: `resolved` carries final
+    * (grp, pname, side, pv) answers for the targets whose interval was
+    * degenerate or small enough to rank directly; `frontier` carries the
+    * still-compressed sub-buckets (same schema as the input frontier) for
+    * the next level — empty once everything resolved. */
+  private[graft] final case class PctLevel(resolved: DataFrame, frontier: DataFrame)
 
   private def pctPos(p: Double): Column = (col("n_rows") - 1) * lit(p)
+
+  /** Order-preserving bucket id in [0, nb) over the interval [lo, hi]:
+    * floor of the scaled offset — multiplication/division by a positive
+    * constant and floor are monotone in IEEE doubles, so bucket ranges
+    * partition the rank space. Non-finite values pin explicitly (−Inf → 0;
+    * +Inf and NaN → nb−1, matching the NaN-last total order both engines
+    * sort by): the scaled offset of a non-finite value is NaN, which casts
+    * to bucket 0 and would break rank monotonicity (ADVICE r11). A −Inf
+    * ENDPOINT degrades gracefully rather than breaking: finite offsets
+    * against an infinite range scale to NaN → bucket 0, so that level
+    * gains no resolution and the bucket rides the depth ceiling into a
+    * single rank-pass partition — correct, merely not accelerated. */
+  private[graft] def pctBucketId(v: Column, lo: Column, hi: Column, nb: Int): Column =
+    when(isnan(v) || v === lit(Double.PositiveInfinity), lit(nb - 1))
+      .when(v === lit(Double.NegativeInfinity), lit(0))
+      .when(hi <= lo, lit(0))
+      .otherwise(least(floor((v - lo) / (hi - lo) * nb).cast("int"), lit(nb - 1)))
 
   /** Rank-locate phase of the bucketed exact percentile (shape designed in
     * r10, SCALE.md §"exact percentiles"): equi-width bucket histogram →
@@ -63,15 +106,9 @@ object Relational {
     // pass 1: per-(group, column) value range (tiny aggregate, broadcast)
     val ranges = vals.groupBy(col(grp), col("cid"))
       .agg(min("v").as("vmin"), max("v").as("vmax"))
-    // order-preserving bucket id in [0, nb): floor of the scaled offset —
-    // monotone in v (multiplication/division by a positive constant and
-    // floor are monotone in IEEE doubles), so bucket ranges partition the
-    // per-(group, column) rank space
-    val bCol = when(col("vmax") <= col("vmin"), lit(0)).otherwise(
-      least(floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * nb)
-        .cast("int"), lit(nb - 1)))
     val bucketed = vals.join(broadcast(ranges), Seq(grp, "cid"))
-      .select(col(grp), col("cid"), col("v"), bCol.as("b"))
+      .select(col(grp), col("cid"), col("v"),
+        pctBucketId(col("v"), col("vmin"), col("vmax"), nb).as("b"))
     // pass 2: per-(group, column, bucket) histogram — partial→final agg
     // whose shuffle volume is O(groups·cols·nb), never O(rows)
     val hist = bucketed.groupBy(col(grp), col("cid"), col("b"))
@@ -105,49 +142,106 @@ object Relational {
       ps: Seq[(Double, String)], grp: String): PctLocated =
     pctLocateCols(rows, cnts, Seq((valCol, ps)), grp)
 
-  /** Level-2 rank locate (r11): range-adaptive refinement of the
-    * straddling buckets. Each non-degenerate straddler re-buckets its OWN
-    * rows over its OWN [bmin, bmax] — resolution multiplies by PctBuckets
-    * exactly where the rank lives, which also defuses the equi-width
-    * outlier trap (one extreme value compressing a heavy-tailed column's
-    * dense range into a single level-1 bucket would otherwise funnel the
-    * whole group into one rank-pass partition). Same exact-integer-rank
-    * contract as level 1. */
-  private[graft] def pctRefine(parts: PctLocated, grp: String): PctRefined = {
+  /** The frontier schema [[pctResolveLevel]] consumes and emits: one row
+    * per still-unresolved target, carrying the target identity (pname,
+    * side, r), the level-1 bucket id `b` (kept at every depth so interval
+    * rows re-select with an equi HASH probe, not a per-row range scan of
+    * the whole corpus), the interval [lo, hi] of ACTUAL values it
+    * descends from, the interval's row count `cnt`, and the cumulative
+    * rank `cum` of everything before it. */
+  private[graft] def pctFrontier0(located: DataFrame, grp: String): DataFrame =
+    located.select(col(grp), col("cid"), col("b"), col("pname"),
+      col("side"), col("r"), col("bmin").as("lo"), col("bmax").as("hi"),
+      col("bc").as("cnt"), col("cum_lo").as("cum"))
+
+  /** One adaptive resolution level (r12, replacing the unconditional r11
+    * level-2 refine). Each frontier interval takes exactly one of three
+    * routes, decided declaratively so the whole multi-level pipeline stays
+    * ONE lazy Catalyst plan:
+    *
+    *   - DEGENERATE (lo ≥ hi — a point mass or pinned non-finite class):
+    *     the answer is the interval's own min; zero row traffic.
+    *   - SMALL (cnt ≤ [[PctSmallBucket]], or the depth ceiling): rank
+    *     directly — a running count over the interval's DISTINCT values
+    *     locates the value whose cumulative rank range covers the target.
+    *   - COMPRESSED (cnt > gate): re-bucket the interval's rows over its
+    *     OWN [lo, hi] — range-ADAPTIVE refinement, ×[[PctBuckets]]
+    *     resolution exactly where the rank lives — and emit the located
+    *     sub-bucket into the next level's frontier.
+    *
+    * ONE broadcast join carries the full target identity into the scan
+    * (per-level-1-bucket hash probe + [lo, hi] range filter — exact,
+    * because bucket ids are monotone in v, so distinct intervals of one
+    * bucket never share a value); interval rows then collapse to
+    * per-(target, DISTINCT value) counts FIRST — partial→final, so a
+    * point mass inside a mixed bucket combines map-side to one row and
+    * the shuffle is O(distinct values inside live intervals), never
+    * O(their rows). A value row duplicates per target sharing its bucket
+    * (≤ 2·|ps| targets), nothing more. The rank pass and the
+    * sub-histogram both read that one aggregate, deduped physically by
+    * ReusedExchange, and need no further joins: the running count filters
+    * against the target's own rank column in place.
+    *
+    * Plan-size discipline (measured, not theoretical): every reference to
+    * the previous frontier re-embeds that level's whole subplan, so a
+    * depth-d unroll costs ~refs^d plan copies — the first r12 cut used 4
+    * references per level and planned ~350 AQE stages, +1.8 s/query of
+    * pure planning overhead at sf0.1. This shape holds the frontier
+    * reference count at 2 (`direct` + the vh join) and the vh count at 2.
+    * A level whose frontier is empty is elided at runtime by AQE's
+    * empty-relation propagation; what remains per unrolled level is a
+    * fixed ~0.5 s of sequential stage-materialization latency at
+    * interactive scale (invisible at cluster scale), which is why
+    * [[PctDepth]] defaults to 2 and deeper unrolls are caller-requested. */
+  private[graft] def pctResolveLevel(bucketed: DataFrame, frontier: DataFrame,
+      grp: String, last: Boolean): PctLevel = {
     val nb = PctBuckets
-    val need1 = parts.located.filter(col("bmin") < col("bmax"))
-    val buckets1 = need1
-      .select(col(grp), col("cid"), col("b"), col("cum_lo"),
-        col("bmin"), col("bmax"))
-      .distinct()
-    // bmax > bmin strictly here (degenerates filtered), so the scaled
-    // offset is well-defined and monotone
-    val sbCol = least(floor((col("v") - col("bmin")) /
-      (col("bmax") - col("bmin")) * nb).cast("int"), lit(nb - 1))
-    // ONE scan serves both the sub-histogram and the rank pass: collapse
-    // the straddler rows to per-(bucket, DISTINCT value) counts FIRST —
-    // partial→final, so point masses combine map-side and the shuffle is
-    // O(distinct values inside straddling buckets), never O(their rows) —
-    // then derive the sub-bucket id on the aggregated rows (it is a pure
-    // function of (v, bmin, bmax), so no second scan of the data exists
-    // anywhere in level 2; this keeps the scan count identical to a
-    // single-level locate)
-    val valueHist = parts.bucketed.join(broadcast(buckets1), Seq(grp, "cid", "b"))
-      .groupBy(col(grp), col("cid"), col("b"), col("cum_lo"),
-        col("bmin"), col("bmax"), col("v"))
-      .agg(count(lit(1)).as("vc"))
-      .withColumn("sb", sbCol)
-    val subHist = valueHist
-      .groupBy(col(grp), col("cid"), col("b"), col("cum_lo"), col("sb"))
-      .agg(sum("vc").as("sc"), min("v").as("sbmin"), max("v").as("sbmax"))
-    val wSub = Window.partitionBy(col(grp), col("cid"), col("b")).orderBy(col("sb"))
-    val subCum = subHist.withColumn("cum2_lo",
-      col("cum_lo") + sum("sc").over(wSub) - col("sc"))
-    val located2 = need1.select(col(grp), col("cid"), col("b"), col("pname"),
-        col("side"), col("r"))
-      .join(subCum, Seq(grp, "cid", "b"))
-      .filter(col("r") > col("cum2_lo") && col("r") <= col("cum2_lo") + col("sc"))
-    PctRefined(valueHist, located2)
+    // degenerate intervals answer from the histogram stats alone
+    val direct = frontier.filter(col("lo") >= col("hi"))
+      .select(col(grp), col("pname"), col("side"), col("lo").as("pv"))
+    val live = frontier.filter(col("lo") < col("hi"))
+    val vh = bucketed.join(broadcast(live), Seq(grp, "cid", "b"))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col(grp), col("cid"), col("b"), col("pname"), col("side"),
+        col("v"))
+      .agg(count(lit(1)).as("vc"), min("r").as("r"), min("lo").as("lo"),
+        min("hi").as("hi"), min("cnt").as("cnt"), min("cum").as("cum"))
+    // (grp, cid, pname, side) identifies the target AND its one interval,
+    // so windows partition on it; lo/hi/cnt/cum/r ride as min-aggregates
+    // (constant per target) to keep double columns out of the shuffle keys
+    val wRank = Window.partitionBy(col(grp), col("cid"), col("pname"),
+      col("side")).orderBy(col("v"))
+    // rank pass: running count over the interval's distinct values (ties
+    // impossible post-groupBy, so the frame is exact): value v covers
+    // global ranks (cum + run − vc, cum + run]
+    val passVh = if (last) vh else vh.filter(col("cnt") <= PctSmallBucket)
+    val ranked = passVh
+      .withColumn("hi_r", col("cum") + sum("vc").over(wRank))
+      .filter(col("r") > col("hi_r") - col("vc") && col("r") <= col("hi_r"))
+      .select(col(grp), col("pname"), col("side"), col("v").as("pv"))
+    val resolved = direct.unionByName(ranked)
+    if (last) PctLevel(resolved, frontier.limit(0))
+    else {
+      // refine: sub-bucket the compressed intervals' distinct-value rows
+      // over their own range; the sub-bucket covering the target rank
+      // becomes the next level's frontier row (b rides along unchanged —
+      // an interval at any depth stays inside its level-1 bucket)
+      val sub = vh.filter(col("cnt") > PctSmallBucket)
+        .withColumn("sb", pctBucketId(col("v"), col("lo"), col("hi"), nb))
+        .groupBy(col(grp), col("cid"), col("b"), col("pname"), col("side"),
+          col("sb"))
+        .agg(sum("vc").as("sc"), min("v").as("slo"), max("v").as("shi"),
+          min("r").as("r"), min("cum").as("cum"))
+      val wSub = Window.partitionBy(col(grp), col("cid"), col("pname"),
+        col("side")).orderBy(col("sb"))
+      val next = sub
+        .withColumn("cum2", col("cum") + sum("sc").over(wSub) - col("sc"))
+        .filter(col("r") > col("cum2") && col("r") <= col("cum2") + col("sc"))
+        .select(col(grp), col("cid"), col("b"), col("pname"), col("side"),
+          col("r"), col("slo").as("lo"), col("shi").as("hi"),
+          col("sc").as("cnt"), col("cum2").as("cum"))
+      PctLevel(resolved, next)
+    }
   }
 
   /** Exact interpolated percentile (quantile_cont semantics) the scale-safe
@@ -173,16 +267,22 @@ object Relational {
     *      values locates the value whose cumulative rank range covers
     *      the target: global rank = bucket prefix + running count.
     *
-    * Between steps 4 and 5 sits a SECOND locate level (r11, closing the
-    * documented residual): each straddling bucket re-buckets its own rows
-    * over its own [bmin, bmax] — range-ADAPTIVE refinement, so a single
-    * outlier that compresses the group's global range into one dense
-    * bucket (the equi-width failure mode: 99% of a heavy-tailed column in
-    * bucket 0) gains ×1024 resolution exactly where the rank lives. The
-    * per-task ceiling for step 5 is one SUB-bucket's distinct values ≤
-    * n/PctBuckets², ~10⁶ rows at a 10¹²-row group, and degenerate
-    * sub-buckets (point masses) still answer from the sub-histogram with
-    * zero row traffic.
+    * Step 5 is ADAPTIVE (r12, retiring the unconditional r11 level-2
+    * refine): a straddling bucket at most [[PctSmallBucket]] rows ranks
+    * directly; a bigger one re-buckets over its OWN [bmin, bmax] —
+    * range-ADAPTIVE refinement, so a single outlier that compresses the
+    * group's global range into one dense bucket (the equi-width failure
+    * mode: 99% of a heavy-tailed column in bucket 0) gains ×1024
+    * resolution exactly where the rank lives — and the routing repeats
+    * per unrolled level (`depth`, default [[PctDepth]] = 2), so a
+    * DOUBLY-compressed distribution can refine again (depth 3+) rather
+    * than funneling into one rank-pass partition. The per-task rank-pass
+    * ceiling is one interval's distinct values ≤ n/PctBuckets^depth —
+    * ~10⁶ rows at a 10¹²-row group for the default depth; a spread
+    * distribution (straddlers ~n/1024 ≤ the gate) resolves entirely at
+    * level 1 and AQE elides the deeper levels' stages via empty-relation
+    * propagation — the common case pays for no refinement it does not
+    * need.
     *
     * Ranks come from exact integer counts, so the oracle contract is
     * untouched; the located lo/hi values interpolate with the convex form
@@ -198,39 +298,25 @@ object Relational {
     * per reference. */
   private[graft] def exactPctsCols(rows: DataFrame, cnts: DataFrame,
       colsPs: Seq[(Column, Seq[(Double, String)])],
-      grp: String = "l_returnflag"): DataFrame = {
+      grp: String = "l_returnflag", depth: Int = PctDepth): DataFrame = {
+    require(depth >= 1, s"percentile resolve depth must be >= 1: $depth")
     val allPs = colsPs.flatMap(_._2)
     require(allPs.map(_._2).distinct.size == allPs.size,
       "percentile output names must be globally unique across columns")
     val parts = pctLocateCols(rows, cnts, colsPs, grp)
-    // degenerate buckets (all values equal) resolve with zero row traffic
-    val direct1 = parts.located.filter(col("bmin") >= col("bmax"))
-      .select(col(grp), col("pname"), col("side"), col("bmin").as("pv"))
-    val refined = pctRefine(parts, grp)
-    val direct2 = refined.located.filter(col("sbmin") >= col("sbmax"))
-      .select(col(grp), col("pname"), col("side"), col("sbmin").as("pv"))
-    val need2 = refined.located.filter(col("sbmin") < col("sbmax"))
-
-    // ---- rank pass, only within straddling SUB-buckets, over the
-    // already-collapsed DISTINCT-value counts (refined.values — the same
-    // aggregation the sub-histogram derived from, so its exchange reuses)
-    val sortBuckets = need2
-      .select(col(grp), col("cid"), col("b"), col("sb"), col("cum2_lo"))
-      .distinct()
-    val valCnts = refined.values
-      .join(broadcast(sortBuckets), Seq(grp, "cid", "b", "sb"))
-    // running count over the sub-bucket's distinct values (ties impossible
-    // post-groupBy, so the RANGE frame is exact): value v covers global
-    // ranks (cum2_lo + run − vc, cum2_lo + run]
-    val wB = Window.partitionBy(col(grp), col("cid"), col("b"), col("sb"))
-      .orderBy(col("v"))
-    val run = valCnts.withColumn("hi_r", col("cum2_lo") + sum("vc").over(wB))
-    val sorted = run.join(
-      broadcast(need2.select(col(grp), col("cid"), col("b"), col("sb"),
-        col("pname"), col("side"), col("r"))), Seq(grp, "cid", "b", "sb"))
-      .filter(col("r") > col("hi_r") - col("vc") && col("r") <= col("hi_r"))
-      .select(col(grp), col("pname"), col("side"), col("v").as("pv"))
-    val direct = direct1.unionByName(direct2)
+    // depth-unrolled adaptive resolution: each level resolves degenerate
+    // and small intervals and forwards only still-compressed ones; the
+    // unrolling is static but unused levels are runtime-free (AQE elides
+    // stages behind an empty frontier)
+    var frontier = pctFrontier0(parts.located, grp)
+    val levels = Seq.newBuilder[DataFrame]
+    for (d <- 1 to depth) {
+      val lvl = pctResolveLevel(parts.bucketed, frontier, grp,
+        last = d == depth)
+      levels += lvl.resolved
+      frontier = lvl.frontier
+    }
+    val answers = levels.result().reduce(_ unionByName _)
     // pivot the ≤ 2·Σ|ps| rows per group into lo_/hi_ columns, then
     // interpolate exactly as the r10 formulation did (same expressions,
     // same values — the oracle is unchanged; pname is globally unique, so
@@ -240,9 +326,14 @@ object Relational {
       min(when(col("pname") === out && col("side") === "hi", col("pv"))).as(s"hi_$out")) }
     val outs = allPs.map { case (p, out) =>
       val frac = pctPos(p) - floor(pctPos(p))
-      (col(s"lo_$out") * (lit(1.0) - frac) + col(s"hi_$out") * frac).as(out)
+      // frac = 0 (target rank integral → lo and hi are the same located
+      // value) short-circuits to that value: identical to the convex form
+      // for finite inputs, and avoids Inf·0 = NaN when the value is ±Inf
+      when(frac === 0, col(s"lo_$out"))
+        .otherwise(col(s"lo_$out") * (lit(1.0) - frac) + col(s"hi_$out") * frac)
+        .as(out)
     }
-    direct.unionByName(sorted)
+    answers
       .groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
       .join(broadcast(cnts), grp)
       .select(col(grp) +: outs: _*)
@@ -251,8 +342,9 @@ object Relational {
   /** Single-column convenience over [[exactPctsCols]] (q37's envelope and
     * the scale specs). */
   private[graft] def exactPcts(rows: DataFrame, cnts: DataFrame, valCol: Column,
-      ps: Seq[(Double, String)], grp: String = "l_returnflag"): DataFrame =
-    exactPctsCols(rows, cnts, Seq((valCol, ps)), grp)
+      ps: Seq[(Double, String)], grp: String = "l_returnflag",
+      depth: Int = PctDepth): DataFrame =
+    exactPctsCols(rows, cnts, Seq((valCol, ps)), grp, depth)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)

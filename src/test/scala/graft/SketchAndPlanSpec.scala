@@ -67,6 +67,25 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     case other => other.children.flatMap(flattenPlan)
   })
 
+  /** [[flattenPlan]] plus descent through ReusedExchangeExec into the
+    * exchange it references (ADVICE r11: a reused exchange is a LEAF —
+    * children Nil — so a subtree hidden behind one is invisible to plan
+    * assertions and an absence check passes vacuously). Only for
+    * reachability assertions: a node under a reused exchange also appears
+    * under the original, so node COUNTS over this flatten double-count. */
+  private def flattenPlanThroughReuse(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flattenPlanThroughReuse(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      flattenPlanThroughReuse(q.plan)
+    case sc: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      flattenPlanThroughReuse(sc.relation.cachedPlan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      flattenPlanThroughReuse(r.child)
+    case other => other.children.flatMap(flattenPlanThroughReuse)
+  })
+
   test("q01: filter + projection are pushed into the parquet scan") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -298,15 +317,18 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q35_percentiles")(spark, sf)
     df.collect() // finalize AQE so reused stages are visible
-    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    val nodes = flattenPlanThroughReuse(df.queryExecution.executedPlan)
     val windows = nodes.collect { case w: WindowExec => w }
     assert(windows.nonEmpty, "expected the rank-locate windows in the plan")
     windows.foreach { w =>
-      val sub = flattenPlan(w).drop(1)
-      val scansRaw = sub.exists(_.nodeName.contains("Scan parquet")) &&
-        !sub.exists(_.nodeName.contains("Aggregate"))
-      assert(!scansRaw,
-        s"WindowExec over raw scan rows (the serialized-sort shape):\n$w")
+      // positive reachability (ADVICE r11): every window must have an
+      // Aggregate DESCENDANT, seen through reused exchanges — the old
+      // absence check (scan-without-aggregate) passed vacuously for a
+      // window whose whole subtree hid behind a ReusedExchangeExec leaf
+      val sub = flattenPlanThroughReuse(w).drop(1)
+      assert(sub.exists(_.nodeName.contains("Aggregate")),
+        s"WindowExec with no Aggregate below it (ranks raw rows — the " +
+          s"serialized-sort shape):\n$w")
     }
   }
 

@@ -198,6 +198,17 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortRows < n / 50,
       s"sort footprint $sortRows is not a sliver of the $n-row group")
 
+    // r12 adaptive gate: a spread distribution's straddlers are all under
+    // PctSmallBucket rows, so ONE resolve level answers everything — the
+    // next frontier is EMPTY and the deeper refine stages get elided by
+    // AQE's empty-relation propagation (the sf0.1 claw-back)
+    val parts = graft.operators.Relational.pctLocate(rows, cnts, col("x"), ps, "g")
+    val f0 = graft.operators.Relational.pctFrontier0(parts.located, "g")
+    val lvl1 = graft.operators.Relational
+      .pctResolveLevel(parts.bucketed, f0, "g", last = false)
+    assert(lvl1.frontier.isEmpty,
+      "spread straddlers must resolve at level 1 — nothing should refine")
+
     // exactness: bit-identical to a locally computed interpolated
     // quantile using the same convex form on the same doubles
     val got = graft.operators.Relational
@@ -283,16 +294,21 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ps = Seq(0.5 -> "p50")
 
     val parts = graft.operators.Relational.pctLocate(rows, cnts, col("x"), ps, "g")
-    // level 1 IS compressed: the straddler bucket holds ~the whole group
+    // level 1 IS compressed: the straddler bucket holds ~the whole group,
+    // which exceeds the PctSmallBucket gate, so the adaptive level MUST
+    // route it to refinement (not the direct rank pass)
     val lvl1Rows = parts.located.filter(col("bmin") < col("bmax"))
       .agg(coalesce(sum(col("bc")), lit(0L))).as[Long].head()
     assert(lvl1Rows > n / 2,
       s"expected the outlier to compress level 1 (straddler ≈ group), got $lvl1Rows")
-    // level 2 refines: the located sub-buckets carry a sliver
-    val lvl2Rows = graft.operators.Relational.pctRefine(parts, "g").located
-      .filter(col("sbmin") < col("sbmax"))
-      .agg(coalesce(sum(col("sc")), lit(0L))).as[Long].head()
+    // one resolve level refines: the forwarded frontier carries a sliver
+    val f0 = graft.operators.Relational.pctFrontier0(parts.located, "g")
+    val lvl1 = graft.operators.Relational
+      .pctResolveLevel(parts.bucketed, f0, "g", last = false)
+    val lvl2Rows = lvl1.frontier
+      .agg(coalesce(sum(col("cnt")), lit(0L))).as[Long].head()
     info(s"rank-pass footprint: level-1 $lvl1Rows → level-2 $lvl2Rows of $n rows")
+    assert(lvl2Rows > 0, "the compressed straddler must refine, not rank directly")
     assert(lvl2Rows < n / 100,
       s"level-2 footprint $lvl2Rows is not a sliver of the $n-row group")
 
@@ -305,5 +321,100 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = xs(math.floor(pos).toInt) * (1.0 - frac) +
       xs(math.ceil(pos).toInt) * frac
     assert(got.getDouble(1) == want, s"got ${got.getDouble(1)}, want $want")
+  }
+
+  test("percentile rank-locate: a doubly-compressed range recurses to level 3") {
+    // The composition claim SCALE.md §3 used to state as prose, now
+    // executed: TWO nested outliers (1e12 stretching the group range,
+    // 1e6 stretching the dense bucket's own range) compress BOTH the
+    // level-1 histogram and the level-2 sub-histogram — the dense 99.99%
+    // of values live in [0, 1), so one refine level still leaves the
+    // located sub-bucket holding ~the whole group. The adaptive router
+    // must forward it a second time (frontier after one level ≈ group,
+    // after two levels a sliver), and the depth-3 rank pass must keep the
+    // answer bit-exact.
+    val ss = spark
+    import ss.implicits._
+    val n = 400000L
+    val rows = ss.range(n).select(lit("D").as("g"),
+      when(col("id") === 0, lit(1e12))
+        .when(col("id") === 1, lit(1e6))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000000L)).cast("double") / 1e6)
+        .as("x"))
+    val cnts = rows.groupBy("g").agg(count(lit(1)).as("n_rows"))
+    val ps = Seq(0.5 -> "p50")
+    val R = graft.operators.Relational
+
+    val parts = R.pctLocate(rows, cnts, col("x"), ps, "g")
+    val f0 = R.pctFrontier0(parts.located, "g")
+    val lvl1 = R.pctResolveLevel(parts.bucketed, f0, "g", last = false)
+    val f1Rows = lvl1.frontier
+      .agg(coalesce(sum(col("cnt")), lit(0L))).as[Long].head()
+    assert(f1Rows > n / 2,
+      s"expected the inner outlier to keep level 2 compressed, got $f1Rows")
+    val lvl2 = R.pctResolveLevel(parts.bucketed, lvl1.frontier, "g", last = false)
+    val f2Rows = lvl2.frontier
+      .agg(coalesce(sum(col("cnt")), lit(0L))).as[Long].head()
+    info(s"frontier footprint: level-1 $f1Rows → level-2 $f2Rows of $n rows")
+    assert(f2Rows > 0, "the doubly-compressed bucket must refine twice")
+    assert(f2Rows < n / 100,
+      s"second refine left $f2Rows rows — not a sliver of the $n-row group")
+
+    // exactness through the full pipeline at depth 3 (the recursion) AND
+    // at the default depth 2 (the ceiling-forced final pass): depth bounds
+    // the rank-pass partition size, never the answer
+    val got = R.exactPcts(rows, cnts, col("x"), ps, "g", depth = 3).collect()(0)
+    val got2 = R.exactPcts(rows, cnts, col("x"), ps, "g").collect()(0)
+    assert(got.getDouble(1) == got2.getDouble(1),
+      s"depth must not change the answer: d3=$got d2=$got2")
+    val xs = rows.select(col("x")).as[Double].collect().sorted
+    val pos = (xs.length - 1) * 0.5
+    val frac = pos - math.floor(pos)
+    val want =
+      if (frac == 0) xs(pos.toInt)
+      else xs(math.floor(pos).toInt) * (1.0 - frac) +
+        xs(math.ceil(pos).toInt) * frac
+    assert(got.getDouble(1) == want, s"got ${got.getDouble(1)}, want $want")
+  }
+
+  test("percentile rank-locate: non-finite values pin to the rank order's ends") {
+    // ADVICE r11: a non-finite value's scaled bucket offset is NaN, which
+    // casts to bucket 0 — without pinning, +Inf/NaN would counted below
+    // every finite value and the located rank ranges go wrong. pctBucketId
+    // pins −Inf → bucket 0 and +Inf/NaN → the top bucket (the NaN-last
+    // total order both engines sort doubles by), and interpolation
+    // short-circuits integral ranks so an exact-rank hit on ±Inf returns
+    // ±Inf instead of Inf·0 = NaN. Checked against a locally computed
+    // quantile over the same doubles under the same total order.
+    val ss = spark
+    import ss.implicits._
+    val n = 20000L
+    val rows = ss.range(n).select(lit("F").as("g"),
+      when(col("id") === 0, lit(Double.NegativeInfinity))
+        .when(col("id") === 1, lit(Double.PositiveInfinity))
+        .when(col("id") === 2, lit(Double.NaN))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000L)).cast("double"))
+        .as("x"))
+    val cnts = rows.groupBy("g").agg(count(lit(1)).as("n_rows"))
+    val ps = Seq(0.0 -> "pmin", 0.5 -> "p50", 1.0 -> "pmax")
+    val got = graft.operators.Relational
+      .exactPcts(rows, cnts, col("x"), ps, "g").collect()(0)
+    // Ordering.Double.TotalOrdering sorts −Inf first and NaN last — the
+    // same total order Spark's comparisons and DuckDB's sort use
+    val xs = rows.select(col("x")).as[Double].collect()
+      .sorted(Ordering.Double.TotalOrdering)
+    def want(p: Double): Double = {
+      val pos = (xs.length - 1) * p
+      val frac = pos - math.floor(pos)
+      if (frac == 0) xs(pos.toInt)
+      else xs(math.floor(pos).toInt) * (1.0 - frac) +
+        xs(math.ceil(pos).toInt) * frac
+    }
+    for ((i, p) <- Seq(1 -> 0.0, 2 -> 0.5, 3 -> 1.0)) {
+      assert(java.lang.Double.compare(got.getDouble(i), want(p)) == 0,
+        s"p=$p: got ${got.getDouble(i)}, want ${want(p)}")
+    }
+    assert(got.getDouble(1).isNegInfinity && got.getDouble(3).isNaN,
+      s"expected pmin=−Inf and pmax=NaN, got $got")
   }
 }
