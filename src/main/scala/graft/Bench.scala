@@ -173,13 +173,24 @@ object Bench {
         df <- default.get(name) if df.med > 0.1
       } yield name -> p.med / df.med
     }
-    val overheadSummary = if (ratios.isEmpty) "" else {
-      val rs = ratios.map(_._2).sorted
-      val medR = rs(rs.size / 2)
-      val p90 = rs(math.min(rs.size - 1, (rs.size * 9) / 10))
+    // artifact symmetry with BenchStream (ADVICE r11): whenever the
+    // default lane RAN, its total, its failures, and the lane order are
+    // recorded — a default-only failure must read as a named failure, not
+    // a silently smaller default_total that understates plugin overhead;
+    // and a no-qualifying-ratios run must still show the lane happened
+    val overheadSummary = if (default.isEmpty) "" else {
       val defTotal = default.values.map(_.med).filter(_ >= 0).sum
-      s""","default_total":${ms(defTotal)},"plugin_overhead_med":${ms(medR)},""" +
-        s""""plugin_overhead_p90":${ms(p90)},"ab_order":"$abOrder""""
+      val defFailed = default.toSeq.sortBy(_._1)
+        .collect { case (k, v) if v.med < 0 => "\"" + short(k) + "\"" }
+        .mkString("[", ",", "]")
+      val ratioPart = if (ratios.isEmpty) "" else {
+        val rs = ratios.map(_._2).sorted
+        val medR = rs(rs.size / 2)
+        val p90 = rs(math.min(rs.size - 1, (rs.size * 9) / 10))
+        s""","plugin_overhead_med":${ms(medR)},"plugin_overhead_p90":${ms(p90)}"""
+      }
+      s""","default_total":${ms(defTotal)},"default_failed":$defFailed""" +
+        ratioPart + s""","ab_order":"$abOrder""""
     }
     // "method" rides on the stdout line: the driver's parsed copy is the
     // only artifact some readers see, and without the marker the
