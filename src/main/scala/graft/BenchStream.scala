@@ -59,8 +59,26 @@ object BenchStream {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_STREAM_TIER=sf1 points the WHOLE protocol — both lanes,
+    // median-of-3, ratios, failure naming — at the derived ×10 streaming
+    // tier (VERDICT r11 item 3: the stateful-shuffle overhead bracket
+    // measured one decade right, not just a single-run plugin column).
+    // The guard mirrors the AB_ORDER one: a typo must not silently record
+    // a base-tier run as the decade artifact.
+    val tier = sys.env.getOrElse("SPARK_GRAFT_STREAM_TIER", "base")
+    require(tier == "base" || tier == "sf1",
+      s"SPARK_GRAFT_STREAM_TIER must be base or sf1: $tier")
+    val sfDir =
+      if (tier == "sf1") {
+        // stage the derived tier before any lane so neither lane's
+        // medians carry the one-time build
+        val s0 = GraftSession.get(cpus)
+        val d = try tools.StreamScaleProbe.ensureBuilt(s0) finally s0.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        d
+      } else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => SparkEntry.streamingQueries.contains(name) }
     require(ordered.map(n => short(n._1)).toSet.size == ordered.size,
@@ -136,22 +154,26 @@ object BenchStream {
         } yield p.med / d.med
       }.sorted
       val defTotal = default.values.map(_.med).filter(_ >= 0).sum
+      // ab_order rides with defPart, not the ratios: the lane ORDER is a
+      // fact of the run whether or not any ratio qualified
       val defPart =
-        s""","default_total":${ms(defTotal)},"default_failed":$defaultFailed"""
+        s""","default_total":${ms(defTotal)},"default_failed":$defaultFailed,""" +
+          s""""ab_order":"$abOrder""""
       if (ratios.isEmpty) defPart
       else {
         val medR = ratios(ratios.size / 2)
         val p90 = ratios(math.min(ratios.size - 1, (ratios.size * 9) / 10))
         defPart +
           s""","plugin_overhead_med":${ms(medR)},""" +
-          s""""plugin_overhead_p90":${ms(p90)},"ab_order":"$abOrder""""
+          s""""plugin_overhead_p90":${ms(p90)}"""
       }
     }
     // the sf1 column (VERDICT r9 item 1): one single-run pass over the
     // derived ×10 tier (tools.StreamScaleProbe's disjoint-user events
     // replication), so the committed snapshot carries the decade-step
     // next to the sf0.01 medians. SPARK_GRAFT_STREAM_SF1=0 skips it.
-    val sf1Part = if (sys.env.getOrElse("SPARK_GRAFT_STREAM_SF1", "1") == "0") ""
+    val sf1Part = if (tier == "sf1" ||
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SF1", "1") == "0") ""
       else {
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()

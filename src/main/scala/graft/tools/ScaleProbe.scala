@@ -127,6 +127,10 @@ object ScaleProbe {
     // vocabulary, gate keeps most docs)
     val perturbedQueries = Seq("dd16_substr_dedup", "pp07_chunk_overlap",
       "pp08_span_clean_chunks", "tx11_lm_coverage")
+    // tier names are the artifact's stable keys; the dirs ride alongside
+    // so a reader can reproduce any row
+    val tierOf = Map(Src -> "sf0.1", Dst -> "sf1_exact", DstP -> "sf1_perturbed")
+    val jsonRows = Seq.newBuilder[String]
     def probe(dir: String, name: String): Unit = {
       System.gc()
       tap.harvest()
@@ -145,9 +149,26 @@ object ScaleProbe {
       val rows = df.count()
       println(f"SCALEPROBE $dir $name rows=$rows wall=$sec%.2f s " +
         f"shuffle_w=${wb / 1e6}%.1f MB shuffle_r=${rb / 1e6}%.1f MB")
+      jsonRows += f"""{"tier":"${tierOf(dir)}","query":"$name","rows":$rows,""" +
+        f""""wall_s":$sec%.2f,"shuffle_w_mb":${wb / 1e6}%.1f,""" +
+        f""""shuffle_r_mb":${rb / 1e6}%.1f}"""
     }
     for (dir <- Seq(Src, Dst); name <- queries) probe(dir, name)
     for (name <- perturbedQueries) probe(DstP, name)
+    // the versioned machine-readable copy (VERDICT r11 item 4): the
+    // SCALE.md decade tables were hand-transcribed single runs — this
+    // file is what the next round diffs mechanically, and what
+    // scripts/scale_table.py renders the markdown tables from. Single
+    // runs by design (same as the tables always were): the probe bounds
+    // GROWTH shape across a decade, not noise-level deltas.
+    val json = s"""{"metric":"scaleprobe","method":"single-run-noop-action",""" +
+      s""""tiers":{"sf0.1":"$Src","sf1_exact":"$Dst","sf1_perturbed":"$DstP"},""" +
+      s""""rows":[${jsonRows.result().mkString(",")}]}"""
+    val out = java.nio.file.Paths.get("target/scaleprobe.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }
