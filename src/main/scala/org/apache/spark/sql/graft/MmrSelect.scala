@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -51,7 +51,7 @@ import org.apache.spark.sql.types._
   * null struct fields are skipped entirely.
   */
 case class MmrSelect(child: Expression, k: Int, relWeight: Int, divWeight: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, "k must be >= 1")
   require(relWeight > 0 && divWeight >= 0, "weights must be positive")
@@ -82,8 +82,38 @@ case class MmrSelect(child: Expression, k: Int, relWeight: Int, divWeight: Int)
 
   override def prettyName: String = "mmr_select"
 
-  override protected def nullSafeEval(candsAny: Any): Any = {
-    val arr = candsAny.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(candsAny: Any): Any =
+    MmrSelect.select(candsAny.asInstanceOf[ArrayData], k, relWeight, divWeight)
+
+  /** Codegen (r12, retiring the CodegenFallback): the greedy kernel is a
+    * single static call on the already-evaluated child — the
+    * StaticInvoke pattern. No per-row interpretation of the expression
+    * tree, no `ctx.INPUT_ROW` materialization (a CodegenFallback forces
+    * the enclosing operator to keep the full row object alive just to
+    * re-evaluate the child), and the projection containing mmr_select
+    * stays inside WholeStageCodegen — what ss08/ss09-style serving at
+    * production QPS needs. The kernel itself is deliberately NOT inlined
+    * as generated Java: it is ~80 lines of loop nest whose JIT profile
+    * is identical either way, and inlining it would only bloat the
+    * generated method toward the 64 KB/8 KB JIT thresholds. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.graft.MmrSelect$$.MODULE$$.select(
+         |  $c, $k, $relWeight, $divWeight);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MmrSelect =
+    copy(child = newChild)
+}
+
+object MmrSelect {
+  def apply(cands: Column, k: Int, relWeight: Int, divWeight: Int): Column =
+    ExpressionUtils.column(new MmrSelect(
+      ExpressionUtils.expression(cands), k, relWeight, divWeight))
+
+  /** The greedy MMR kernel (shared verbatim by the interpreted `eval`
+    * and the generated code). See the class doc for the determinism and
+    * degenerate-input contract. */
+  def select(arr: ArrayData, k: Int, relWeight: Int, divWeight: Int): ArrayData = {
     val total = arr.numElements()
     val ids = new Array[Long](total)
     val relU = new Array[Long](total)
@@ -164,15 +194,6 @@ case class MmrSelect(child: Expression, k: Int, relWeight: Int, divWeight: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MmrSelect =
-    copy(child = newChild)
-}
-
-object MmrSelect {
-  def apply(cands: Column, k: Int, relWeight: Int, divWeight: Int): Column =
-    ExpressionUtils.column(new MmrSelect(
-      ExpressionUtils.expression(cands), k, relWeight, divWeight))
 
   /** Half-away-from-zero rounding on both signs — DuckDB ROUND semantics.
     * Java's Math.round is floor(x + 0.5) (half-UP), which disagrees on
