@@ -132,21 +132,32 @@ object ScaleProbe {
     val tierOf = Map(Src -> "sf0.1", Dst -> "sf1_exact", DstP -> "sf1_perturbed")
     val jsonRows = Seq.newBuilder[String]
     def probe(dir: String, name: String): Unit = {
-      System.gc()
-      tap.harvest()
-      val t0 = System.nanoTime()
-      // noop write, not count(): see Bench — a stacked count()
-      // re-optimizes and can delete the operator under test (dd16/pp05's
-      // final audit-table left joins). Row counts are taken from a
-      // SEPARATE count() afterwards: join elimination is semantics-
-      // preserving for the count, just not for the cost.
-      val df = SparkEntry.queries(name)(spark, dir)
-      df.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // harvest BEFORE the row count so the count's own shuffle bytes
-      // don't double-bill the query
-      val (wb, rb) = tap.harvest()
-      val rows = df.count()
+      // median-of-3 (r12): the r11 single-run numbers mixed first-query
+      // JVM/codegen warmup and end-of-session GC pressure into the decade
+      // columns (measured: dd16 on the perturbed tier read 17.5 s single
+      // vs 4.5 s warm median in a fresh session) — unusable as the
+      // mechanical diff baseline the artifact exists to be. Same protocol
+      // as Bench; shuffle bytes are deterministic per plan, recorded from
+      // the median rep's pass.
+      val walls = (1 to 3).map { _ =>
+        System.gc()
+        tap.harvest()
+        val t0 = System.nanoTime()
+        // noop write, not count(): see Bench — a stacked count()
+        // re-optimizes and can delete the operator under test (dd16/pp05's
+        // final audit-table left joins). Row counts are taken from a
+        // SEPARATE count() afterwards: join elimination is semantics-
+        // preserving for the count, just not for the cost.
+        val df = SparkEntry.queries(name)(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // harvest BEFORE the row count so the count's own shuffle bytes
+        // don't double-bill the query
+        val (wb, rb) = tap.harvest()
+        (sec, wb, rb)
+      }
+      val (sec, wb, rb) = walls.sortBy(_._1).apply(1)
+      val rows = SparkEntry.queries(name)(spark, dir).count()
       println(f"SCALEPROBE $dir $name rows=$rows wall=$sec%.2f s " +
         f"shuffle_w=${wb / 1e6}%.1f MB shuffle_r=${rb / 1e6}%.1f MB")
       jsonRows += f"""{"tier":"${tierOf(dir)}","query":"$name","rows":$rows,""" +
@@ -158,10 +169,8 @@ object ScaleProbe {
     // the versioned machine-readable copy (VERDICT r11 item 4): the
     // SCALE.md decade tables were hand-transcribed single runs — this
     // file is what the next round diffs mechanically, and what
-    // scripts/scale_table.py renders the markdown tables from. Single
-    // runs by design (same as the tables always were): the probe bounds
-    // GROWTH shape across a decade, not noise-level deltas.
-    val json = s"""{"metric":"scaleprobe","method":"single-run-noop-action",""" +
+    // scripts/scale_table.py renders the markdown tables from.
+    val json = s"""{"metric":"scaleprobe","method":"median3-noop-action",""" +
       s""""tiers":{"sf0.1":"$Src","sf1_exact":"$Dst","sf1_perturbed":"$DstP"},""" +
       s""""rows":[${jsonRows.result().mkString(",")}]}"""
     val out = java.nio.file.Paths.get("target/scaleprobe.json")
