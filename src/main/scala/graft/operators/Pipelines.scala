@@ -57,12 +57,16 @@ object Pipelines {
         // by construction, not by fixture luck
         .select(col("source"), trim(lower(col("text"))).as("ctext"),
           fingerprint(col("text")).as("fp"))
-        .select(col("source"), col("ctext"), col("fp"),
-          tokens(col("ctext")).as("ws"))
-        .dropDuplicates("source", "fp")
-        .select(col("source"),
+        // derive content_chars + quality BEFORE the dedup state: every
+        // copy of a (source, fp) key carries identical derived values
+        // (the determinism argument above), so keeping ONLY the scalars
+        // leaves the state store rows hash-key-sized instead of
+        // text-sized — at 100 TB the fingerprint dictionary holds ~40
+        // bytes/doc, not the document body
+        .select(col("source"), col("fp"),
           length(col("ctext")).as("content_chars"),
-          qualityScore(col("ws")).as("quality"))
+          qualityScore(tokens(col("ctext"))).as("quality"))
+        .dropDuplicates("source", "fp")
         .filter(col("quality") >= 0.5)
       StreamingQueries.drainAppend(s, kept)
         .groupBy(col("source"))
@@ -178,9 +182,16 @@ object Pipelines {
             s"i -> substring(md5(cast(array_join(slice(toks, i, $k), ' ') as binary)), 1, 16))"))
         .otherwise(array().cast("array<string>"))).as("h"))
       val bench = grams.filter(col("doc_id") % 50 === 0).select(col("h")).distinct()
-      val train = grams.filter(col("doc_id") % 50 =!= 0).distinct()
+      // Order of operations IS the scale design: the broadcast join is a
+      // map-side filter, so run it BEFORE any dedup — the only rows that
+      // ever shuffle are the (rare) contaminated-gram hits, deduped by
+      // countDistinct inside the per-doc agg. The previous shape ran
+      // train.distinct() first, an exchange of EVERY training gram key
+      // (the whole corpus ×k in 64-bit keys at 100 TB) just to feed a
+      // filter that discards almost all of them.
+      val train = grams.filter(col("doc_id") % 50 =!= 0)
       val hits = train.join(broadcast(bench), "h")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("h")).as("hits"))
       docs.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"), col("source"))
         .join(hits, Seq("doc_id"), "left")
@@ -275,18 +286,26 @@ object Pipelines {
     // stats over the SURVIVING corpus
     "pp01_clean_corpus" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
+      // Map-side payload reduction: the fp-dedup window and the split
+      // window only consume HASHES of the text (fp, md5) and SCALAR
+      // scores (n_chars, quality), all functions of each row's own text
+      // — so compute them at the scan and never shuffle the text or the
+      // token array. Both window exchanges then carry ~50 bytes/row
+      // instead of the document body (~10x fewer shuffle bytes at
+      // sf0.1; at 100 TB it is the difference between shuffling the
+      // corpus twice and shuffling a key table twice). Scoring a dupe
+      // row is wasted map-side arithmetic, but dupes are rare and the
+      // kept row's score is identical either way — oracle-exact.
       val byFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
       val deduped = docs
-        .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        .select(col("doc_id"), col("source"), col("n_chars"),
           fingerprint(col("text")).as("fp"),
-          tokens(col("text")).as("ws"))
+          md5(col("text").cast("binary")).as("h"),
+          qualityScore(tokens(col("text"))).as("quality"))
         .withColumn("keep_rk", row_number().over(byFp))
         .filter(col("keep_rk") === 1)
-      val scored = deduped.select(col("doc_id"), col("source"), col("text"),
-          col("n_chars"), qualityScore(col("ws")).as("quality"))
-        .filter(col("quality") >= 0.5)
-      val bySrcHash = Window.partitionBy(col("source"))
-        .orderBy(md5(col("text").cast("binary")))
+      val scored = deduped.filter(col("quality") >= 0.5)
+      val bySrcHash = Window.partitionBy(col("source")).orderBy(col("h"))
       val whole = Window.partitionBy(col("source"))
       scored
         .select(col("source"), col("n_chars"), col("quality"),

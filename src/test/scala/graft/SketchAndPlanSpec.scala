@@ -520,10 +520,41 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!flat.exists(_.isInstanceOf[
         org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
       "training grams must not shuffle into a sort-merge join")
+    // regression guard for the r12 shape: training grams reach an
+    // exchange only AFTER the broadcast filter. Any exchange carrying
+    // per-doc gram rows (doc_id AND h in its schema) must have the
+    // broadcast join below it — the retired train.distinct() shape had
+    // exactly such an exchange with no join underneath, i.e. it
+    // shuffled every training gram key just to discard them
+    flat.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.output.map(_.name).toSet.intersect(Set("doc_id", "h")).size == 2 => e
+    }.foreach { e =>
+      assert(flattenPlanThroughReuse(e).exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        s"per-doc gram exchange without the broadcast filter below it:\n$e")
+    }
     // sanity on the verdict itself: some but not all docs contaminated
     val n = df.count()
     val c = df.filter(col("contaminated") === 1).count()
     assert(n > 0 && c > 0 && c < n, s"contaminated $c of $n")
+  }
+
+  test("pp01: dedup + split exchanges carry hashes and scalars, never text") {
+    val df = SparkEntry.queries("pp01_clean_corpus")(spark, sf)
+    df.collect()
+    val flat = flattenPlanThroughReuse(df.queryExecution.executedPlan)
+    val shuffles = flat.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, "pp01 has window + agg exchanges by design")
+    // the 100 TB discipline: fp/md5/quality are computed map-side at the
+    // scan, so no exchange (and no window input) ever carries the
+    // document body or the token array
+    shuffles.foreach { e =>
+      val names = e.output.map(_.name).toSet
+      assert(names.intersect(Set("text", "ws", "toks")).isEmpty,
+        s"exchange shuffles document payload: $names")
+    }
   }
 
   test("pp06: the sampling decision is a pushed map-side filter, no corpus window") {
