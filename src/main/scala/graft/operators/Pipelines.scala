@@ -275,7 +275,13 @@ object Pipelines {
         .select(col("doc_id"))
       chunkManifest(Tables.load(s, d, "documents").join(keep, "doc_id"))
         .groupBy(col("source"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
+        // n_docs counts chunk_id=0 rows — every doc emits exactly one
+        // (chunkManifest's sequence always starts at j=0), so this is
+        // countDistinct(doc_id) EXACTLY but keeps the agg at ONE
+        // distinct column (chunk_fp): two distinct columns would plan
+        // an Expand x3 of the whole chunk manifest through the partial
+        // agg, tripling the widest stage of the pipeline
+        .agg(count(when(col("chunk_id") === 0, true)).as("n_docs"),
           count(lit(1)).as("n_chunks"),
           sum(col("chunk_tokens")).as("sum_chunk_tokens"),
           countDistinct(col("chunk_fp")).as("n_unique_chunks"))
