@@ -37,6 +37,56 @@ object Pipelines {
       .parquet(d)
   }
 
+  /** pp09 scoring stage: (doc_id, source, text) → the four audit scalars.
+    * Text and the token array die here — nothing downstream shuffles them. */
+  private[graft] def scoreDocs(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+    .select(col("doc_id"), col("source"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      qualityScore(col("toks")).as("quality"))
+    .where(col("source").isNotNull)
+
+  /** pp09 level-1 scan: range-partition the scored rows on the FULL
+    * order key (source, quality desc, doc_id) and take the running token
+    * sum inside each (source, pid) cell. pid ascends in key order, so it
+    * is a prefix-respecting bucket of each source's quality-desc order —
+    * under ANY distribution (ties split by the doc_id tiebreak, cells
+    * balanced by the range partitioner's sampling; parallelism = shuffle
+    * partitions, never a band count). localCheckpoint pins pid — see the
+    * pp09 query comment. */
+  private[graft] def budgetScan(scored: DataFrame): DataFrame = {
+    val ranged = scored
+      .repartitionByRange(col("source"), col("quality").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy(col("source"), col("pid"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("local_cum", sum(col("n_tokens")).over(local))
+      .localCheckpoint(false)
+  }
+
+  /** pp09 composed: score → level-1 cell scan → level-2 scan over the
+    * per-cell totals (one row per cell) → broadcast the base offsets
+    * back. Integer-exact for any prefix-respecting bucketing, which is
+    * also why the output is invariant to the sampled range boundaries
+    * (and to AQE coalescing, which only merges ADJACENT range
+    * partitions). */
+  private[graft] def budgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    val withLocal = budgetScan(scoreDocs(docs))
+    val cellTotals = withLocal.groupBy(col("source"), col("pid"))
+      .agg(max(col("local_cum")).as("cell_tokens"))
+    val cellScan = Window.partitionBy(col("source")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cellTotals
+      .withColumn("cell_off", coalesce(sum(col("cell_tokens")).over(cellScan), lit(0L)))
+      .select(col("source"), col("pid"), col("cell_off"))
+    withLocal.join(offsets, Seq("source", "pid"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("n_tokens"), (col("cell_off") + col("local_cum")).as("cum_tokens"))
+      .withColumn("kept", (col("cum_tokens") <= budget).cast("int"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The corpus-prep pipeline AS A STREAMING JOB: continuous ingest →
     // streaming exact dedup (dropDuplicates state keyed on (source,
@@ -287,6 +337,60 @@ object Pipelines {
           countDistinct(col("chunk_fp")).as("n_unique_chunks"))
     }),
 
+    // TOKEN-BUDGET SELECTION — the data-selection step between scoring
+    // and packing (the DataComp/DoReMi-style regime: each source gets a
+    // token budget, and its highest-quality documents fill it): rank
+    // every document within its source by quality (desc, doc_id
+    // tie-break — a total order, so selection is deterministic), take
+    // the per-source running token total in that order, keep a doc iff
+    // its cumulative total fits the budget (B = 640 whitespace tokens
+    // here; a real pipeline plugs in tokenizer counts and a
+    // mixture-weighted budget — the plumbing is identical). Emits the
+    // full per-doc selection audit (quality, tokens, cumulative
+    // position, kept flag), not just the survivors: the audit row is
+    // what a selection dashboard and a re-run with a different budget
+    // both consume.
+    //
+    // Scale design: the naive plan is one running-sum window per source
+    // ordered by quality — a per-source TOTAL SORT with every row of a
+    // source through a single task (pp04's asymmetry, but here the
+    // order key is DATA-DEPENDENT, so pp04's id-bucket trick does not
+    // apply, and a fixed banding of the quality value caps parallelism
+    // at bands·sources and collapses entirely on a quality-saturated
+    // corpus where most docs tie at 1.0). The general fix is the
+    // two-level scan over a RANGE partitioning of the full order key
+    // (source, quality desc, doc_id): the range partitioner samples
+    // boundaries — balanced under ANY distribution, ties split by the
+    // doc_id tiebreak, parallelism = shuffle partitions, not a band
+    // count — and partition ids ascend in key order, so pid is a
+    // prefix-respecting bucket of each source's quality-desc order.
+    // (1) a running sum inside each (source, pid) cell; (2) a running
+    // sum over the per-cell TOTALS in pid order — one row per cell —
+    // joined back as each cell's base offset. Integer-exact for ANY
+    // prefix-respecting bucketing, which is also why the output is
+    // invariant to the sampled boundaries (and to AQE coalescing,
+    // which only merges ADJACENT range partitions); the oracle runs
+    // the naive single window, proving the decomposition. Only scalars
+    // enter the shuffles (pp01's payload discipline): text and the
+    // token array die at the scan.
+    //
+    // `pid` is PARTITION IDENTITY, not data — so the one structural
+    // rule is that it be computed exactly once: the cell-totals branch
+    // and the final join both consume `withLocal`, and if each
+    // re-executed the range exchange with freshly sampled boundaries
+    // (RangePartitioner seeds per RDD id; ReusedExchange dedup is an
+    // OPTIMIZATION, vulnerable to any subtree asymmetry such as
+    // one-sided null-filter inference), the two branches could assign
+    // DIFFERENT pids to the same row and the (source, pid) join would
+    // silently misalign. localCheckpoint(eager = false) pins the
+    // post-window scalars to one materialization (the dd09/dd15
+    // lineage-truncation precedent): both consumers read the same RDD,
+    // correctness by construction instead of by plan-shape luck — and
+    // it doubles as the reuse device (text is scanned and tokenized
+    // once; the checkpoint holds only the five audit scalars).
+    "pp09_token_budget_select" -> ((s, d) =>
+      budgetSelect(Tables.load(s, d, "documents"), 640L)),
+
     // corpus prep: exact-dedup (keep lowest doc_id per content
     // fingerprint) → quality gate → 80/10/10 md5-rank split → per-split
     // stats over the SURVIVING corpus
@@ -452,6 +556,26 @@ object Pipelines {
              CAST(LEAST(64, n - j * 48) AS BIGINT) AS chunk_tokens,
              substring(md5(array_to_string(toks[j*48 + 1 : j*48 + 64], ' ')), 1, 16)
                AS chunk_fp
+      FROM c""",
+
+    // the NAIVE per-source quality-ordered running sum — proving the
+    // Spark side's range-bucketed two-level scan selects identically
+    // (ROWS frame is explicit, but doc_id makes the order key unique,
+    // so RANGE peers are single rows anyway)
+    "pp09_token_budget_select" -> s"""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ${qualitySql("text")} AS quality
+        FROM documents),
+           c AS (
+        SELECT doc_id, source, quality, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                      ORDER BY quality DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM t)
+      SELECT doc_id, source, quality, n_tokens, cum_tokens,
+             CAST(cum_tokens <= 640 AS INT) AS kept
       FROM c""",
 
     "pp06_mixture_sample" -> """

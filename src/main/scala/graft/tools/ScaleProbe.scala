@@ -119,14 +119,26 @@ object ScaleProbe {
       // r10 sort-based shape's ×10 cold run was 23 s (each group's sort
       // serialized through one task); the rank-locate bound is scans +
       // sliver-sized bucket sorts
-      "q35_percentiles", "q37_approx_sketches")
+      "q35_percentiles", "q37_approx_sketches",
+      // r12: token-budget selection. The exact-copy ×10 corpus is also
+      // pp09's TIE regime — every replica scores the identical quality,
+      // so the order key degenerates toward the doc_id tiebreak, the
+      // case the range-partitioned two-level scan exists for (a quality
+      // banding would serialize here; SkewSpec's tie bomb is the
+      // unit-scale twin of this probe row)
+      "pp09_token_budget_select")
     buildPerturbed(spark)
     // the text-operator lane runs on BOTH ×10 regimes: exact-copy (their
     // saturation worst case, inside `queries` below) and perturbed
     // near-dup twins (the novel-corpus regime — new fingerprints, grown
     // vocabulary, gate keeps most docs)
     val perturbedQueries = Seq("dd16_substr_dedup", "pp07_chunk_overlap",
-      "pp08_span_clean_chunks", "tx11_lm_coverage")
+      "pp08_span_clean_chunks", "tx11_lm_coverage",
+      // r12: the perturbed twins score DIFFERENT qualities (every 16th
+      // token rewritten moves the distinct-token ratio), so this lane
+      // is pp09's spread-key regime — the pair of rows brackets both
+      // ends of the quality-tie spectrum
+      "pp09_token_budget_select")
     // tier names are the artifact's stable keys; the dirs ride alongside
     // so a reader can reproduce any row
     val tierOf = Map(Src -> "sf0.1", Dst -> "sf1_exact", DstP -> "sf1_perturbed")

@@ -135,6 +135,40 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pp09 band-decomposed budget selection equals the naive running sum") {
+    // single-threaded mirror of the ORACLE shape — one quality-ordered
+    // running sum per source — against the shipped band-bucketed
+    // two-level scan, proving the decomposition independently of DuckDB
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def quality(ws: Array[String]): Double = {
+      val sr = ws.count(stop).toDouble / ws.length
+      val dr = ws.distinct.length.toDouble / ws.length
+      q6(math.min(1.0, (sr * 2 + dr) * (if (ws.length >= 20) 1.0 else 0.5)))
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    val expected = docs.groupBy(_._2).iterator.flatMap { case (_, ds) =>
+      val ordered = ds
+        .map { case (id, src, ws) => (id, src, quality(ws), ws.length.toLong) }
+        .sortBy { case (id, _, q, _) => (-q, id) }
+      ordered.scanLeft(0L) { case (cum, (_, _, _, n)) => cum + n }.tail
+        .zip(ordered).map { case (cum, (id, src, q, n)) =>
+          id -> ((src, q, n, cum, if (cum <= 640L) 1 else 0))
+        }
+    }.toMap
+    val got = SparkEntry.queries("pp09_token_budget_select")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getInt(5)))).toMap
+    assert(got.keySet == expected.keySet, "every doc must get an audit row")
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id audit row")
+    }
+  }
+
   test("ss10 MMR diversification equals a single-threaded greedy brute force") {
     // the exact arithmetic shape of VectorOps.cosineD / MmrSelect.simU:
     // sequential-order dot products, dot / (sqrt * sqrt), ONE integer

@@ -171,6 +171,53 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally ss.sparkContext.removeSparkListener(maxTask)
   }
 
+  test("token-budget tie bomb: an all-equal-quality source scans in parallel cells") {
+    // pp09's order key is (quality desc, doc_id) — DATA-dependent. A
+    // quality-saturated corpus (every doc scoring the ceiling 1.0 — the
+    // common case once least(1.0, ·) clips) is the regime that collapses
+    // any fixed banding of the quality VALUE into one serial cell. The
+    // shipped decomposition range-partitions on the FULL order key, so
+    // the doc_id tiebreak splits the tie mass across cells. Assert both
+    // halves: the (source, pid) cell histogram stays balanced under the
+    // total tie, and the composed result equals the naive serial scan
+    // (equal quality ⇒ the selection order is doc_id asc, so the
+    // expected cumulative sums are closed-form).
+    val ss = spark
+    val n = 60000L
+    val tokensPerDoc = 30L
+    // 30 distinct non-stopword tokens ⇒ quality = least(1.0, 0·2 + 1.0) = 1.0
+    val text = (1 to tokensPerDoc.toInt).map(i => s"w$i").mkString(" ")
+    val docs = ss.range(n).select(col("id").as("doc_id"),
+      lit("web").as("source"), lit(text).as("text"))
+
+    // balance probe with AQE coalescing off: at test scale (2 MB of
+    // scalars) AQE would rightly merge the range partitions into one —
+    // the production regime this tier models is cells ≫ advisory size
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = ss.conf.get(coalesceKey)
+    val cells = try {
+      ss.conf.set(coalesceKey, "false")
+      graft.operators.Pipelines.budgetScan(graft.operators.Pipelines.scoreDocs(docs))
+        .groupBy(col("source"), col("pid")).count()
+        .collect().map(_.getLong(2))
+    } finally ss.conf.set(coalesceKey, prev)
+    assert(cells.length >= 4,
+      s"tie mass must split across cells, got ${cells.length}")
+    assert(cells.max <= n / 4,
+      s"no cell may hold the tie mass: max ${cells.max} of $n")
+
+    // composed correctness (AQE coalescing back ON — the output is
+    // invariant to the cell bucketing, which this re-proves)
+    val audit = graft.operators.Pipelines.budgetSelect(docs, 640L)
+      .select(col("doc_id"), col("cum_tokens"), col("kept")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(audit.length == n)
+    audit.zipWithIndex.foreach { case ((id, cum, kept), i) =>
+      assert(id == i && cum == tokensPerDoc * (i + 1) &&
+        kept == (if (cum <= 640L) 1 else 0), s"row $i: ($id, $cum, $kept)")
+    }
+  }
+
   test("percentile rank-locate: a single giant group sorts only straddling buckets") {
     // VERDICT r10's one `weak` item: the sort-based exactPcts serialized
     // each group's ENTIRE sort through one task. The r11 bucket-histogram
