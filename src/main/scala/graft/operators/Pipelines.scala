@@ -87,6 +87,26 @@ object Pipelines {
       .withColumn("kept", (col("cum_tokens") <= budget).cast("int"))
   }
 
+  /** pp10/pp11's scrub projection — ONE definition for the batch and
+    * streaming entries (both oracle against the same SQL): token-level
+    * [MASK] substitution over the denylist plus the per-doc compliance
+    * audit. Pure map — composes with any source, batch or stream. */
+  private def scrubAudit(docs: DataFrame): DataFrame = {
+    val deny = Seq("customer", "spark", "key", "hash")
+    val toks = tokens(col("text"))
+    val masked = transform(toks,
+      t => when(t.isInCollection(deny), lit("[MASK]")).otherwise(t))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        size(org.apache.spark.sql.functions.filter(toks,
+          t => t.isInCollection(deny))).cast("long").as("n_masked"),
+        substring(md5(array_join(masked, " ").cast("binary")), 1, 16)
+          .as("clean_fp"))
+      .withColumn("masked_ratio",
+        round(col("n_masked").cast("double") / col("n_tokens"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The corpus-prep pipeline AS A STREAMING JOB: continuous ingest →
     // streaming exact dedup (dropDuplicates state keyed on (source,
@@ -391,6 +411,35 @@ object Pipelines {
     "pp09_token_budget_select" -> ((s, d) =>
       budgetSelect(Tables.load(s, d, "documents"), 640L)),
 
+    // DENYLIST SCRUB — the masking step of a filter/mask cleaning
+    // pipeline (the PII / toxicity denylist pass of Dolma/RefinedWeb-
+    // style corpus prep; the fixture's stand-in denylist is four
+    // vocabulary words). Token-level: every denylisted token becomes
+    // the [MASK] sentinel; emits the per-doc compliance audit —
+    // n_tokens, n_masked, masked_ratio, and the md5-prefix fingerprint
+    // of the SCRUBBED text (what downstream exact-dedup keys on, so
+    // docs differing only in masked content collapse after the scrub).
+    //
+    // Scale design: pure map — ZERO shuffle at any scale. The scrub is
+    // a transform() over the token array and the count a filter(),
+    // both inside whole-stage codegen; the fingerprint is an md5 of
+    // the re-joined text. The 100 TB plan is a bare scan → project,
+    // embarrassingly parallel; the denylist is a literal in the plan
+    // (a production list of ~10⁵ terms would broadcast a lookup
+    // expression instead — same plan shape).
+    "pp10_denylist_scrub" -> ((s, d) =>
+      scrubAudit(Tables.load(s, d, "documents"))),
+
+    // the SAME scrub as a STREAMING stage — the compliance pass of a
+    // continuous ingest pipeline. Stateless (no watermark, no state
+    // store): each micro-batch maps scan → project exactly like the
+    // batch plan, so throughput scales with executors and the oracle
+    // is pp10's own SQL verbatim (one definition of the scrub,
+    // `scrubAudit`, shared by both entries — a drift in either would
+    // break the other's oracle-exactness visibly).
+    "pp11_stream_scrub" -> ((s, d) =>
+      StreamingQueries.drainAppend(s, scrubAudit(streamDocs(s, d)))),
+
     // corpus prep: exact-dedup (keep lowest doc_id per content
     // fingerprint) → quality gate → 80/10/10 md5-rank split → per-split
     // stats over the SURVIVING corpus
@@ -466,6 +515,24 @@ object Pipelines {
                     / LEN(string_split($t, ' ')))
                  * (CASE WHEN LEN(string_split($t, ' ')) >= 20
                          THEN 1.0 ELSE 0.5 END)), 6)"""
+
+  private val scrubSql: String = """
+      WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents),
+           m AS (
+        SELECT doc_id, source,
+               CAST(LEN(ws) AS BIGINT) AS n_tokens,
+               CAST(LEN(list_filter(ws, x -> x IN
+                 ('customer','spark','key','hash'))) AS BIGINT) AS n_masked,
+               array_to_string(list_transform(ws, x -> CASE WHEN x IN
+                 ('customer','spark','key','hash') THEN '[MASK]' ELSE x END),
+                 ' ') AS clean
+        FROM t)
+      SELECT doc_id, source, n_tokens, n_masked,
+             substring(md5(clean), 1, 16) AS clean_fp,
+             round(n_masked / CAST(n_tokens AS DOUBLE), 6) AS masked_ratio
+      FROM m"""
 
   val oracles: Map[String, String] = Map(
     // the NAIVE single-window prefix sum — proving the Spark side's
@@ -577,6 +644,14 @@ object Pipelines {
       SELECT doc_id, source, quality, n_tokens, cum_tokens,
              CAST(cum_tokens <= 640 AS INT) AS kept
       FROM c""",
+
+    // identical-algorithm oracle: DuckDB's list lambdas mirror the
+    // transform()/filter() scrub, md5 over the same re-joined bytes
+    "pp10_denylist_scrub" -> scrubSql,
+
+    // the streaming scrub is stateless, so its converged output is the
+    // batch scrub's rows exactly — SAME oracle, shared string
+    "pp11_stream_scrub" -> scrubSql,
 
     "pp06_mixture_sample" -> """
       WITH t AS (

@@ -178,6 +178,16 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Generate"), s"expected the explode of chunk starts:\n$p")
   }
 
+  test("pp10: the denylist scrub plans with ZERO exchanges (pure map)") {
+    // the mask/count/fingerprint projection itself sits outside
+    // whole-stage codegen (Spark's higher-order array functions don't
+    // participate) — still map-side and embarrassingly parallel, which
+    // is the claim that matters at scale
+    val p = plan("pp10_denylist_scrub")
+    assert(!p.contains("Exchange"),
+      s"mask + count + fingerprint must all stay map-side:\n$p")
+  }
+
   test("dd16: two exchanges (gram count, per-doc fold) and no pair-shaped join") {
     // the span-dedup scale claims: window fingerprints meet through ONE
     // hash aggregation + a count-back join (per OCCURRENCE — never a
