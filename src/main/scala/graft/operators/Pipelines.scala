@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -46,46 +46,79 @@ object Pipelines {
       qualityScore(col("toks")).as("quality"))
     .where(col("source").isNotNull)
 
-  /** pp09 level-1 scan: range-partition the scored rows on the FULL
-    * order key (source, quality desc, doc_id) and take the running token
-    * sum inside each (source, pid) cell. pid ascends in key order, so it
-    * is a prefix-respecting bucket of each source's quality-desc order —
-    * under ANY distribution (ties split by the doc_id tiebreak, cells
-    * balanced by the range partitioner's sampling; parallelism = shuffle
-    * partitions, never a band count). localCheckpoint pins pid — see the
-    * pp09 query comment. */
-  private[graft] def budgetScan(scored: DataFrame): DataFrame = {
-    val ranged = scored
-      .repartitionByRange(col("source"), col("quality").desc, col("doc_id"))
+  /** Distributed groupwise PREFIX SCAN — the running total of `weight`
+    * within each `group`, taken in `order` — without ever putting a
+    * whole group through one task (the naive shape is one window per
+    * group; a group holding most of a 100 TB corpus then serializes).
+    *
+    * Level 1 range-partitions the rows on the FULL order key
+    * (group ++ order) and takes the running sum inside each
+    * (group, pid) cell — `pid = spark_partition_id()` ascends in key
+    * order, so it is a prefix-respecting bucket of each group's order,
+    * under ANY distribution: ties split on the trailing order columns,
+    * cells stay balanced by the range partitioner's sampling, and
+    * parallelism tracks shuffle partitions. Level 2 runs the same scan
+    * over the ONE-ROW-PER-CELL totals and broadcasts each cell's base
+    * offset back. Integer-exact for any prefix-respecting bucketing —
+    * which is also why the output is invariant to the sampled range
+    * boundaries (and to AQE coalescing, which only merges ADJACENT
+    * range partitions).
+    *
+    * `pid` is PARTITION IDENTITY, not data, so the one structural rule
+    * is that it be computed exactly once: both level-2 consumers read
+    * the level-1 rows, and if each re-executed the range exchange with
+    * freshly sampled boundaries (RangePartitioner seeds per RDD id;
+    * ReusedExchange dedup is an OPTIMIZATION, vulnerable to any subtree
+    * asymmetry), they could assign DIFFERENT pids to the same row and
+    * the (group, pid) join would silently misalign.
+    * localCheckpoint(eager = false) pins the level-1 scalars to one
+    * materialization (the dd09/dd15 lineage-truncation precedent):
+    * correctness by construction, not plan-shape luck.
+    *
+    * Returns the input columns plus `cum` (the inclusive running
+    * total). The order columns must make the key total (append a
+    * unique id), or the scanned order — and thus cum — is undefined
+    * between peers. */
+  private[graft] def groupPrefixScan(rows: DataFrame, group: Seq[String],
+      order: Seq[Column], weight: Column): DataFrame = {
+    val groupCols = group.map(col)
+    val withLocal = prefixScanCells(rows, group, order, weight)
+    val cellTotals = withLocal.groupBy(groupCols :+ col("pid"): _*)
+      .agg(max(col("local_cum")).as("cell_total"))
+    val cellScan = Window.partitionBy(groupCols: _*).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cellTotals
+      .withColumn("cell_off", coalesce(sum(col("cell_total")).over(cellScan), lit(0L)))
+      .select(groupCols ++ Seq(col("pid"), col("cell_off")): _*)
+    withLocal.join(offsets, group :+ "pid")
+      .withColumn("cum", col("cell_off") + col("local_cum"))
+      .drop("pid", "local_cum", "cell_off")
+  }
+
+  /** groupPrefixScan's level 1, exposed for the SkewSpec balance probe:
+    * the checkpointed (group, pid, local_cum) cell rows. */
+  private[graft] def prefixScanCells(rows: DataFrame, group: Seq[String],
+      order: Seq[Column], weight: Column): DataFrame = {
+    val groupCols = group.map(col)
+    val ranged = rows
+      .repartitionByRange(groupCols ++ order: _*)
       .withColumn("pid", spark_partition_id())
-    val local = Window.partitionBy(col("source"), col("pid"))
-      .orderBy(col("quality").desc, col("doc_id"))
+    val local = Window.partitionBy(groupCols :+ col("pid"): _*)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
-      .withColumn("local_cum", sum(col("n_tokens")).over(local))
+      .withColumn("local_cum", sum(weight).over(local))
       .localCheckpoint(false)
   }
 
-  /** pp09 composed: score → level-1 cell scan → level-2 scan over the
-    * per-cell totals (one row per cell) → broadcast the base offsets
-    * back. Integer-exact for any prefix-respecting bucketing, which is
-    * also why the output is invariant to the sampled range boundaries
-    * (and to AQE coalescing, which only merges ADJACENT range
-    * partitions). */
-  private[graft] def budgetSelect(docs: DataFrame, budget: Long): DataFrame = {
-    val withLocal = budgetScan(scoreDocs(docs))
-    val cellTotals = withLocal.groupBy(col("source"), col("pid"))
-      .agg(max(col("local_cum")).as("cell_tokens"))
-    val cellScan = Window.partitionBy(col("source")).orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = cellTotals
-      .withColumn("cell_off", coalesce(sum(col("cell_tokens")).over(cellScan), lit(0L)))
-      .select(col("source"), col("pid"), col("cell_off"))
-    withLocal.join(offsets, Seq("source", "pid"))
+  /** pp09 composed: score → groupwise prefix scan of the token counts
+    * in per-source quality-desc order → budget cut. */
+  private[graft] def budgetSelect(docs: DataFrame, budget: Long): DataFrame =
+    groupPrefixScan(scoreDocs(docs), Seq("source"),
+      Seq(col("quality").desc, col("doc_id")), col("n_tokens"))
       .select(col("doc_id"), col("source"), col("quality"),
-        col("n_tokens"), (col("cell_off") + col("local_cum")).as("cum_tokens"))
+        col("n_tokens"), col("cum").as("cum_tokens"))
       .withColumn("kept", (col("cum_tokens") <= budget).cast("int"))
-  }
 
   /** pp10/pp11's scrub projection — ONE definition for the batch and
     * streaming entries (both oracle against the same SQL): token-level
@@ -440,6 +473,35 @@ object Pipelines {
     "pp11_stream_scrub" -> ((s, d) =>
       StreamingQueries.drainAppend(s, scrubAudit(streamDocs(s, d)))),
 
+    // TRAINING-ORDER SHARDING — the last prep step before the data
+    // loader: give every document a deterministic pseudo-random epoch
+    // position, materialized as (shard, shard_pos) so S loader workers
+    // can each read one shard sequentially and the concatenation is a
+    // uniform global shuffle. The epoch key is md5 of the doc id (an
+    // epoch-salted key — md5(doc_id || ':' || epoch) — re-shuffles
+    // between epochs with zero code change); shard = first hex nibble
+    // of the key mod S (engine-portable via ascii()); shard_pos = rank
+    // within the shard in (key, doc_id) order.
+    //
+    // Scale design: the rank is the same groupwise prefix scan as pp09
+    // with weight 1 (`groupPrefixScan` — range-partition on the full
+    // order key, per-cell running counts, one-row-per-cell offsets), so
+    // no shard ever serializes through one task; contrast tx07, whose
+    // per-source row_number window is the naive shape kept deliberately
+    // for its K-row rollup output. The oracle runs the naive
+    // ROW_NUMBER, proving the decomposition ordinal-for-ordinal.
+    "pp12_shard_order" -> ((s, d) => {
+      val S = 8
+      val keyed = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("shard",
+          pmod(ascii(substring(col("h"), 1, 1)), lit(S)).cast("int"))
+      groupPrefixScan(keyed, Seq("shard"),
+        Seq(col("h"), col("doc_id")), lit(1L))
+        .select(col("doc_id"), col("shard"), col("cum").as("shard_pos"))
+    }),
+
     // corpus prep: exact-dedup (keep lowest doc_id per content
     // fingerprint) → quality gate → 80/10/10 md5-rank split → per-split
     // stats over the SURVIVING corpus
@@ -652,6 +714,21 @@ object Pipelines {
     // the streaming scrub is stateless, so its converged output is the
     // batch scrub's rows exactly — SAME oracle, shared string
     "pp11_stream_scrub" -> scrubSql,
+
+    // the NAIVE per-shard ROW_NUMBER — proving the prefix-scan rank
+    // decomposition ordinal-for-ordinal (md5 hex strings compare
+    // identically in both engines; ascii() of the first nibble too)
+    "pp12_shard_order" -> """
+      WITH t AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+           s AS (
+        SELECT doc_id, h,
+               CAST(ascii(substring(h, 1, 1)) % 8 AS INT) AS shard
+        FROM t)
+      SELECT doc_id, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                    ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+      FROM s""",
 
     "pp06_mixture_sample" -> """
       WITH t AS (

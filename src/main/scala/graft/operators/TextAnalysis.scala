@@ -135,17 +135,26 @@ object TextAnalysis {
     // 80/90%. The standard reproducible-split op for training pipelines:
     // assignment depends only on content, never on partitioning or run
     // order. Two window passes + a rollup; linear at any scale.
+    // r12: the md5 rank rides Pipelines.groupPrefixScan (range-partition
+    // two-level scan) instead of a per-source row_number window — the
+    // old shape pulled EVERY doc of a source through one window task,
+    // the serial bottleneck the prefix-scan primitive removes. The
+    // doc_id tiebreak makes the Spark-side order total; the oracle
+    // still ranks by md5 alone, which is sound because byte-identical
+    // texts (the only possible md5 ties) carry identical n_chars, so
+    // the per-(source, split) rollup is invariant to how a tie block
+    // permutes across a split boundary. Source sizes come from the
+    // scan's own max(cum) — the text is scanned ONCE.
     "tx07_hash_split" -> ((s, d) => {
-      val byHash = Window.partitionBy(col("source")).orderBy(col("h"))
-      val whole = Window.partitionBy(col("source"))
-      docs(s, d)
-        .select(col("source"), col("n_chars"), md5(col("text").cast("binary")).as("h"))
+      val keyed = docs(s, d).select(col("doc_id"), col("source"),
+        col("n_chars"), md5(col("text").cast("binary")).as("h"))
+      val ranked = Pipelines.groupPrefixScan(keyed, Seq("source"),
+        Seq(col("h"), col("doc_id")), lit(1L))
+      val counts = ranked.groupBy(col("source")).agg(max(col("cum")).as("cnt"))
+      ranked.join(counts, Seq("source"))
         .select(col("source"), col("n_chars"),
-          row_number().over(byHash).as("rk"),
-          count(lit(1)).over(whole).as("cnt"))
-        .select(col("source"), col("n_chars"),
-          when((col("rk") - 1).cast("double") / col("cnt") < 0.8, "train")
-            .when((col("rk") - 1).cast("double") / col("cnt") < 0.9, "val")
+          when((col("cum") - 1).cast("double") / col("cnt") < 0.8, "train")
+            .when((col("cum") - 1).cast("double") / col("cnt") < 0.9, "val")
             .otherwise("test").as("split"))
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))

@@ -126,7 +126,13 @@ object ScaleProbe {
       // case the range-partitioned two-level scan exists for (a quality
       // banding would serialize here; SkewSpec's tie bomb is the
       // unit-scale twin of this probe row)
-      "pp09_token_budget_select")
+      "pp09_token_budget_select",
+      // r12 (late): the other two riders of the shared groupPrefixScan
+      // primitive — weight-1 ranks over 8 md5 shards (pp12) and the
+      // rebased per-source md5-rank split (tx07, whose exact-copy tier
+      // is its TIE regime: every text's md5 repeats ×10, so rank order
+      // inside a tie block is pure doc_id tiebreak)
+      "pp12_shard_order", "tx07_hash_split")
     buildPerturbed(spark)
     // the text-operator lane runs on BOTH ×10 regimes: exact-copy (their
     // saturation worst case, inside `queries` below) and perturbed

@@ -169,6 +169,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pp12 prefix-scan shard ordinals equal a single-threaded row number") {
+    // mirror of the ORACLE shape — md5-keyed shard + per-shard rank in
+    // (h, doc_id) order — against the shipped groupPrefixScan rank,
+    // proving the two-level decomposition independently of DuckDB
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.map(id => (id, md5Hex(id.toString)))
+      .groupBy { case (_, h) => h.head.toInt % 8 }
+      .iterator.flatMap { case (shard, ds) =>
+        ds.sortBy { case (id, h) => (h, id) }.zipWithIndex.map {
+          case ((id, _), i) => id -> ((shard, i + 1L))
+        }
+      }.toMap
+    val got = SparkEntry.queries("pp12_shard_order")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet, "every doc must get a shard slot")
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id (shard, shard_pos)")
+    }
+    // the slots of each shard are a contiguous 1..n — the property the
+    // loader relies on (no gaps, no double-booked positions)
+    got.values.groupBy(_._1).foreach { case (shard, slots) =>
+      val ps = slots.map(_._2).toArray.sorted
+      assert(ps.sameElements(1L to ps.length.toLong), s"shard $shard slots")
+    }
+  }
+
   test("ss10 MMR diversification equals a single-threaded greedy brute force") {
     // the exact arithmetic shape of VectorOps.cosineD / MmrSelect.simU:
     // sequential-order dot products, dot / (sqrt * sqrt), ONE integer

@@ -197,7 +197,9 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val prev = ss.conf.get(coalesceKey)
     val cells = try {
       ss.conf.set(coalesceKey, "false")
-      graft.operators.Pipelines.budgetScan(graft.operators.Pipelines.scoreDocs(docs))
+      graft.operators.Pipelines.prefixScanCells(
+        graft.operators.Pipelines.scoreDocs(docs), Seq("source"),
+        Seq(col("quality").desc, col("doc_id")), col("n_tokens"))
         .groupBy(col("source"), col("pid")).count()
         .collect().map(_.getLong(2))
     } finally ss.conf.set(coalesceKey, prev)
