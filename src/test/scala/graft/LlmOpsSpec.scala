@@ -169,6 +169,41 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("groupPrefixScan equals a single-threaded scan on adversarial groups") {
+    // the primitive under pp09/pp12/tx07, pinned DIRECTLY (the per-op
+    // twins above prove each composition; this proves the scan itself)
+    // on the shapes the range decomposition must survive: a group that
+    // dwarfs every shuffle partition, a singleton, a tie bomb (every
+    // order key equal — the scanned order is pure id tiebreak), and
+    // zero weights (cum must repeat, not skip)
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(421L)
+    val rows = Seq.newBuilder[(String, Long, Long, Long)]
+    var id = 0L
+    def add(g: String, n: Int, ord: () => Long, w: () => Long): Unit =
+      (1 to n).foreach { _ =>
+        id += 1; rows += ((g, id, ord(), w()))
+      }
+    add("big", 3000, () => rnd.nextLong(1000), () => rnd.nextLong(100))
+    add("one", 1, () => 7L, () => 13L)
+    add("tie", 500, () => 42L, () => rnd.nextLong(5)) // ~20% zero weights
+    val data = rnd.shuffle(rows.result())
+    val expected = data.groupBy(_._1).iterator.flatMap { case (_, gs) =>
+      val ordered = gs.sortBy { case (_, i, o, _) => (o, i) }
+      ordered.scanLeft(0L) { case (c, (_, _, _, w)) => c + w }.tail
+        .zip(ordered).map { case (cum, (_, i, _, _)) => i -> cum }
+    }.toMap
+    val df = spark.createDataFrame(data).toDF("g", "id", "ord", "w")
+    val got = graft.operators.Pipelines
+      .groupPrefixScan(df, Seq("g"), Seq(col("ord"), col("id")), col("w"))
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expected.keySet, "every row must get a cum")
+    expected.foreach { case (i, e) =>
+      assert(got(i) == e, s"row $i running total")
+    }
+  }
+
   test("pp12 prefix-scan shard ordinals equal a single-threaded row number") {
     // mirror of the ORACLE shape — md5-keyed shard + per-shard rank in
     // (h, doc_id) order — against the shipped groupPrefixScan rank,
