@@ -502,6 +502,51 @@ object Pipelines {
         .select(col("doc_id"), col("shard"), col("cum").as("shard_pos"))
     }),
 
+    // DOMAIN-WEIGHTED EPOCH UPSAMPLING — the data-constrained-scaling
+    // stage (Muennighoff et al.): when the corpus is smaller than the
+    // token budget, repeat under-represented domains more epochs than
+    // dominant ones. Sources roll up into domains (here d⌊√srcnum⌋ —
+    // a deliberately SKEWED regrouping of the uniform fixture, sizes
+    // 1:7, so the clamp/base/fraction paths are all exercised by the
+    // oracle); multiplicity is inverse-sqrt share clamped to [1, 4]
+    // (sqrt(max_share/share): a 16×-smaller domain repeats 4×, the
+    // largest exactly 1×). Fractional multiplicities repeat
+    // DETERMINISTICALLY: every doc gets floor(mult) copies, and the
+    // extra copy goes to the first floor(frac·n) docs of the domain in
+    // md5-rank order — content-independent, reproducible, no RNG.
+    //
+    // Scale design: the output is an ids-only epoch-ASSIGNMENT table
+    // (the trainer joins text at read time — you never materialize
+    // copies of 100 TB of text); the multiplicity table is O(domains)
+    // and broadcast; the md5 rank is `groupPrefixScan` with weight 1,
+    // so a domain holding most of the corpus never serializes through
+    // one window task; the explode is a map-side row generator. The
+    // only shuffles are the domain-count agg (O(domains) rows) and the
+    // scan's scalar range exchange — never text.
+    "pp13_source_upsample" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("domain", concat(lit("d"),
+          floor(sqrt(substring(col("source"), 4, 10).cast("int")))
+            .cast("string")))
+      val cnt = docs.groupBy(col("domain"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val mx = cnt.agg(max(col("n")).as("mn"))
+      val mult = cnt.crossJoin(broadcast(mx))
+        .withColumn("mult",
+          least(lit(4.0), greatest(lit(1.0), sqrt(col("mn") / col("n")))))
+        .select(col("domain"), floor(col("mult")).as("base"),
+          floor((col("mult") - floor(col("mult"))) * col("n")).as("extra_k"))
+      val keyed = docs.withColumn("h",
+        md5(col("doc_id").cast("string").cast("binary")))
+      groupPrefixScan(keyed, Seq("domain"), Seq(col("h"), col("doc_id")), lit(1L))
+        .join(broadcast(mult), Seq("domain"))
+        .withColumn("n_copies",
+          col("base") + when(col("cum") <= col("extra_k"), 1L).otherwise(0L))
+        .select(col("doc_id"), col("source"), col("domain"), col("n_copies"),
+          explode(sequence(lit(1L), col("n_copies"))).as("epoch_copy"))
+    }),
+
     // corpus prep: exact-dedup (keep lowest doc_id per content
     // fingerprint) → quality gate → 80/10/10 md5-rank split → per-split
     // stats over the SURVIVING corpus
@@ -729,6 +774,43 @@ object Pipelines {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard
                     ORDER BY h, doc_id) AS BIGINT) AS shard_pos
       FROM s""",
+
+    // the NAIVE per-domain ROW_NUMBER + lateral series expansion.
+    // Float determinism across engines: COUNT cast to DOUBLE, one IEEE
+    // division, one correctly-rounded sqrt, LEAST/GREATEST/FLOOR — no
+    // rounding-mode-sensitive ops (the ss10 ROUND lesson)
+    "pp13_source_upsample" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               'd' || CAST(CAST(FLOOR(sqrt(CAST(substring(source, 4)
+                 AS INT))) AS BIGINT) AS VARCHAR) AS domain
+        FROM documents),
+           cnt AS (
+        SELECT domain, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM d GROUP BY domain),
+           mx AS (SELECT MAX(n) AS mn FROM cnt),
+           m AS (
+        SELECT domain,
+               CAST(FLOOR(LEAST(4.0, GREATEST(1.0, sqrt(mn / n)))) AS BIGINT)
+                 AS base,
+               CAST(FLOOR((LEAST(4.0, GREATEST(1.0, sqrt(mn / n)))
+                 - FLOOR(LEAST(4.0, GREATEST(1.0, sqrt(mn / n))))) * n)
+                 AS BIGINT) AS extra_k
+        FROM cnt, mx),
+           r AS (
+        SELECT doc_id, source, domain,
+               ROW_NUMBER() OVER (PARTITION BY domain
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM d),
+           c AS (
+        SELECT r.doc_id, r.source, r.domain,
+               m.base + CASE WHEN r.rk <= m.extra_k THEN 1 ELSE 0 END
+                 AS n_copies
+        FROM r JOIN m USING (domain))
+      SELECT doc_id, source, domain, CAST(n_copies AS BIGINT) AS n_copies,
+             CAST(unnest(generate_series(1, n_copies)) AS BIGINT)
+               AS epoch_copy
+      FROM c""",
 
     "pp06_mixture_sample" -> """
       WITH t AS (

@@ -234,6 +234,37 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pp13 upsample copies equal a single-threaded multiplicity mirror") {
+    // mirror of the ORACLE shape — skewed domain rollup, inverse-sqrt
+    // share multiplicity clamped to [1,4], md5-rank fractional extras,
+    // 1..n_copies expansion — in the same IEEE double ops Spark runs
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDomain = docs.groupBy { case (_, src) =>
+      "d" + math.floor(math.sqrt(src.drop(3).toInt.toDouble)).toLong
+    }
+    val mn = byDomain.values.map(_.length).max.toDouble
+    val expected = byDomain.iterator.flatMap { case (dom, ds) =>
+      val n = ds.length.toDouble
+      val mult = math.min(4.0, math.max(1.0, math.sqrt(mn / n)))
+      val base = math.floor(mult).toLong
+      val extraK = math.floor((mult - math.floor(mult)) * n).toLong
+      ds.sortBy { case (id, _) => (md5Hex(id.toString), id) }
+        .zipWithIndex.flatMap { case ((id, src), i) =>
+          val copies = base + (if (i + 1 <= extraK) 1L else 0L)
+          (1L to copies).map(c => (id, src, dom, copies, c))
+        }
+    }.toSet
+    val got = SparkEntry.queries("pp13_source_upsample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected, "epoch-assignment rows")
+  }
+
   test("ss10 MMR diversification equals a single-threaded greedy brute force") {
     // the exact arithmetic shape of VectorOps.cosineD / MmrSelect.simU:
     // sequential-order dot products, dot / (sqrt * sqrt), ONE integer
