@@ -567,6 +567,29 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pp13: multiplicity broadcast, map-side expansion, scalar exchanges") {
+    val df = SparkEntry.queries("pp13_source_upsample")(spark, sf)
+    df.collect()
+    val flat = flattenPlanThroughReuse(df.queryExecution.executedPlan)
+    // the O(domains) multiplicity table joins broadcast, never shuffled
+    assert(flat.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "multiplicity join must be a broadcast hash join")
+    val shuffles = flat.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    shuffles.foreach { e =>
+      // ids-only discipline: no exchange carries the document body
+      val names = e.output.map(_.name).toSet
+      assert(names.intersect(Set("text", "ws", "toks")).isEmpty,
+        s"exchange shuffles document payload: $names")
+      // the 1..n_copies expansion happens ABOVE every exchange — the
+      // epoch-assignment rows are generated map-side, never shuffled
+      assert(!flattenPlanThroughReuse(e).exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.GenerateExec]),
+        "explode must not feed a shuffle: the expansion is map-side")
+    }
+  }
+
   test("pp06: the sampling decision is a pushed map-side filter, no corpus window") {
     val df = SparkEntry.queries("pp06_mixture_sample")(spark, sf)
     df.collect()
