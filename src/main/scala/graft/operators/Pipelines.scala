@@ -547,6 +547,101 @@ object Pipelines {
           explode(sequence(lit(1L), col("n_copies"))).as("epoch_copy"))
     }),
 
+    // DSIR-STYLE IMPORTANCE SELECTION — hashed n-gram importance
+    // weighting (Xie et al., "Data Selection for Language Models via
+    // Importance Resampling", NeurIPS 2023): score every doc by how much
+    // more TARGET-like than RAW-like its hashed-bigram mass is, keep the
+    // top quarter. The target slice is sources src0-src3 standing in for
+    // a curated domain (wiki/books); raw is the whole corpus. Features
+    // are word bigrams hashed into B = 4096 buckets — the bucket KEY is
+    // the 3-hex-char md5 prefix itself (a string), so both engines bucket
+    // identically with zero hex-to-int conversion (the pp05/dd05
+    // portability argument, extended to bucketing: collisions collide
+    // identically). Published DSIR scores log p_target/p_raw; logs are
+    // the one op whose last-ulp differs across libm implementations, so
+    // the score here is the LINEARIZED importance — the same
+    // add-1-smoothed bucket masses combined as a difference of
+    // probabilities rather than a log ratio:
+    //   score = S_t/(T+B) − S_r/(R+B),
+    //   S_t = Σ_g (tc[b(g)]+1),  S_r = Σ_g (rc[b(g)]+1)
+    // (tx11's log-free lesson): every accumulation is exact-integer
+    // (commutative — safe to aggregate distributed), and the only float
+    // ops are two correctly-rounded IEEE divisions and one subtraction
+    // computed ONCE per doc — bit-identical in any IEEE-754 engine, no
+    // rounding helper needed. Smoothing denominators use the FULL bucket
+    // space B (not observed buckets) so unseen buckets are well-defined.
+    //
+    // Selection is by exact rank, not sampling: K = ceil(n/4); the
+    // threshold θ is located on the (score, count) HISTOGRAM via the
+    // shared `groupPrefixScan` (cum − cnt < K ⇒ the score's run starts
+    // inside the top-K), and selected = score ≥ θ — the quota rounds UP
+    // at the θ tie (all tied docs kept, the deterministic closure of
+    // top-K under score ties).
+    //
+    // Scale design: the weight table is O(B) rows → broadcast; per-doc
+    // scoring is a map-side explode + broadcast lookup + partial agg, so
+    // the only corpus-sized shuffles carry (doc_id, three ints) — never
+    // text or grams (grams die map-side; the bucket-count aggs shuffle
+    // O(B) rows). The threshold scan is the pp09/pp12 range-partitioned
+    // prefix scan over the score histogram — no global one-task window —
+    // and θ, T, R, n are scalar broadcasts.
+    "pp14_dsir_select" -> ((s, d) => {
+      val B = 4096L
+      val target = Seq("src0", "src1", "src2", "src3")
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      val grams = docs
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(expr("transform(sequence(1, size(toks) - 1), i -> " +
+            "substring(md5(cast(concat(element_at(toks, i), ' ', " +
+            "element_at(toks, i + 1)) as binary)), 1, 3))")).as("b"))
+      // one gram pass builds BOTH count columns (conditional agg) — a
+      // separate target-filtered groupBy would re-explode the corpus text
+      // a second time and pay an O(B) join to stitch rc/tc back together.
+      // localCheckpoint(eager=false) pins the O(B)-row table to ONE
+      // materialization: w is referenced twice (broadcast into per-doc
+      // scoring, summed into tot), and each plan reference would
+      // otherwise re-embed — and re-run — the whole corpus gram pass
+      val w = grams.groupBy(col("b")).agg(
+        count(when(col("source").isInCollection(target), 1)).as("tc"),
+        count(lit(1)).as("rc"))
+        .localCheckpoint(false)
+      val tot = w.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rr"))
+      val perDoc = grams.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          (sum(col("tc")) + count(lit(1))).as("s_t"),
+          (sum(col("rc")) + count(lit(1))).as("s_r"))
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("s_t"), lit(0L)).as("s_t"),
+          coalesce(col("s_r"), lit(0L)).as("s_r"),
+          (coalesce(col("s_t"), lit(0L)).cast("double")
+              / (col("tt") + lit(B)).cast("double")
+            - coalesce(col("s_r"), lit(0L)).cast("double")
+              / (col("rr") + lit(B)).cast("double")).as("score"))
+      val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+        .withColumn("g", lit(0))
+      // n counts the BASE table, not `scored` — scored's plan carries the
+      // crossJoin(tot) subtree, and counting through it re-executes the
+      // whole gram/weights pipeline just to produce a row count the
+      // parquet footer already knows (left join on the doc_id key and a
+      // one-row cross join both preserve cardinality exactly)
+      val nDocs = Tables.load(s, d, "documents").agg(count(lit(1)).as("n"))
+      val thr = groupPrefixScan(hist, Seq("g"), Seq(col("score").desc), col("cnt"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("cum") - col("cnt") < expr("(n + 3) DIV 4"))
+        .agg(min(col("score")).as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("source"), col("n_grams"), col("s_t"),
+          col("s_r"), col("score"),
+          (col("score") >= col("thr")).cast("int").as("selected"))
+    }),
+
     // corpus prep: exact-dedup (keep lowest doc_id per content
     // fingerprint) → quality gate → 80/10/10 md5-rank split → per-split
     // stats over the SURVIVING corpus
@@ -811,6 +906,56 @@ object Pipelines {
              CAST(unnest(generate_series(1, n_copies)) AS BIGINT)
                AS epoch_copy
       FROM c""",
+
+    // the IDENTICAL feature hashing (3-hex-char md5-prefix buckets — the
+    // engine-portable bucket KEY), exact-integer smoothed masses, and the
+    // same two-IEEE-division score; threshold via the naive descending
+    // window the Spark side's groupPrefixScan decomposes
+    "pp14_dsir_select" -> """
+      WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents),
+           g AS (
+        SELECT doc_id, source,
+               substring(md5(toks[i] || ' ' || toks[i + 1]), 1, 3) AS b
+        FROM t, UNNEST(range(1, LEN(toks))) AS u(i)),
+           rc AS (SELECT b, COUNT(*) AS rc FROM g GROUP BY b),
+           tc0 AS (
+        SELECT b, COUNT(*) AS tc FROM g
+        WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY b),
+           w AS (
+        SELECT rc.b, COALESCE(tc, 0) AS tc, rc
+        FROM rc LEFT JOIN tc0 USING (b)),
+           tot AS (
+        SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS rr
+        FROM w),
+           pd AS (
+        SELECT doc_id, COUNT(*) AS n_grams,
+               SUM(tc) + COUNT(*) AS s_t, SUM(rc) + COUNT(*) AS s_r
+        FROM g JOIN w USING (b) GROUP BY doc_id),
+           sc AS (
+        SELECT d.doc_id, d.source,
+               CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(s_t, 0) AS BIGINT) AS s_t,
+               CAST(COALESCE(s_r, 0) AS BIGINT) AS s_r,
+               CAST(COALESCE(s_t, 0) AS DOUBLE) / CAST(tt + 4096 AS DOUBLE)
+                 - CAST(COALESCE(s_r, 0) AS DOUBLE) / CAST(rr + 4096 AS DOUBLE)
+                 AS score
+        FROM (SELECT doc_id, source FROM documents) d
+        LEFT JOIN pd USING (doc_id), tot),
+           h AS (SELECT score, COUNT(*) AS cnt FROM sc GROUP BY score),
+           c AS (
+        SELECT score, cnt,
+               SUM(cnt) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM h),
+           thr AS (
+        SELECT MIN(score) AS thr
+        FROM c, (SELECT COUNT(*) AS n FROM sc) nn
+        WHERE cum - cnt < (n + 3) // 4)
+      SELECT doc_id, source, n_grams, s_t, s_r, score,
+             CAST(score >= thr AS INT) AS selected
+      FROM sc, thr""",
 
     "pp06_mixture_sample" -> """
       WITH t AS (

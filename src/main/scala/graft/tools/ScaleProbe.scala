@@ -132,7 +132,14 @@ object ScaleProbe {
       // rebased per-source md5-rank split (tx07, whose exact-copy tier
       // is its TIE regime: every text's md5 repeats ×10, so rank order
       // inside a tie block is pure doc_id tiebreak)
-      "pp12_shard_order", "tx07_hash_split")
+      "pp12_shard_order", "tx07_hash_split",
+      // r12 (late): DSIR importance selection. Exact-copy ×10 keeps the
+      // bucket table at O(B)=4096 rows while the gram stream grows 10× —
+      // the probe measures the map-side explode + broadcast lookup at
+      // 10× gram volume with the weight/threshold exchanges pinned to
+      // bucket/histogram size (the scale claim: corpus shuffles carry
+      // ids+ints, never grams)
+      "pp14_dsir_select")
     buildPerturbed(spark)
     // the text-operator lane runs on BOTH ×10 regimes: exact-copy (their
     // saturation worst case, inside `queries` below) and perturbed
@@ -144,7 +151,13 @@ object ScaleProbe {
       // token rewritten moves the distinct-token ratio), so this lane
       // is pp09's spread-key regime — the pair of rows brackets both
       // ends of the quality-tie spectrum
-      "pp09_token_budget_select")
+      "pp09_token_budget_select",
+      // r12: the perturbed twins mint NEW bigrams (every 16th token
+      // rewritten), so this lane is pp14's score-spread regime — the
+      // score histogram grows toward distinct-per-doc, the worst case
+      // for the threshold scan's input (still O(distinct scores), never
+      // O(corpus) in one task)
+      "pp14_dsir_select")
     // tier names are the artifact's stable keys; the dirs ride alongside
     // so a reader can reproduce any row
     val tierOf = Map(Src -> "sf0.1", Dst -> "sf1_exact", DstP -> "sf1_perturbed")

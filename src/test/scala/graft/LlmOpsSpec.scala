@@ -438,4 +438,57 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // coverage should be high while bigram coverage varies — the signal
     assert(got.values.map(_._2).min > 0.5, "vocab coverage should be high")
   }
+
+  test("pp14 DSIR selection equals a single-threaded importance mirror") {
+    // the exact arithmetic shape of the distributed plan: exact-integer
+    // bucket masses, two IEEE divisions + one subtraction per doc, rank
+    // threshold with tie closure — recomputed from the raw fixture
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val target = Set("src0", "src1", "src2", "src3")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val grams = docs.map { case (id, src, text) =>
+      val ts = text.split(" ", -1)
+      val bs =
+        if (ts.length < 2) Array.empty[String]
+        else ts.sliding(2).map(p => md5Hex(p(0) + " " + p(1)).take(3)).toArray
+      (id, src, bs)
+    }
+    val rc = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val tc = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    grams.foreach { case (_, src, bs) =>
+      bs.foreach { b =>
+        rc(b) += 1L
+        if (target(src)) tc(b) += 1L
+      }
+    }
+    val rr = rc.values.sum
+    val tt = grams.iterator.filter(g => target(g._2)).map(_._3.length.toLong).sum
+    val scored = grams.map { case (id, src, bs) =>
+      val n = bs.length.toLong
+      val sT = bs.map(tc).sum + n
+      val sR = bs.map(rc).sum + n
+      val score = sT.toDouble / (tt + 4096L).toDouble -
+        sR.toDouble / (rr + 4096L).toDouble
+      (id, src, n, sT, sR, score)
+    }
+    val k = (docs.length + 3) / 4
+    val thr = scored.map(_._6).sorted(Ordering[Double].reverse).apply(k - 1)
+    val expected = scored.map { case (id, src, n, sT, sR, score) =>
+      (id, src, n, sT, sR, score, if (score >= thr) 1 else 0)
+    }.toSet
+    val got = SparkEntry.queries("pp14_dsir_select")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getInt(6))).toSet
+    assert(got == expected, "scored/selected rows")
+    // the quota property the threshold rule guarantees: at least K docs
+    // selected, and dropping the θ tie-run would fall below K
+    val sel = expected.count(_._7 == 1)
+    assert(sel >= k, s"selected $sel < quota $k")
+    assert(sel - expected.count(t => t._7 == 1 && t._6 == thr) < k,
+      "the θ tie-run must be needed to meet the quota")
+  }
 }

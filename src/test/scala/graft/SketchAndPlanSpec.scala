@@ -605,4 +605,32 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
       "hash-threshold sampling must not join or rank the corpus")
   }
+
+  test("pp14: one scoring gram pass, broadcast weight lookup, ids-only shuffles") {
+    val df = SparkEntry.queries("pp14_dsir_select")(spark, sf)
+    df.collect()
+    val flat = flattenPlanThroughReuse(df.queryExecution.executedPlan)
+    // exactly ONE explode in the main plan: the scoring pass. The weight
+    // table's own gram pass sits behind its localCheckpoint (an RDD-scan
+    // leaf here), so a regression that re-embeds it — the tot/broadcast
+    // double-reference trap — shows up as a second GenerateExec
+    val gens = flat.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }.distinct
+    assert(gens.size == 1,
+      s"expected the single scoring explode, found ${gens.size}")
+    // the O(B)-row weight table joins the gram stream broadcast, so grams
+    // never shuffle for the lookup
+    assert(flat.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "gram→weight lookup must be a broadcast hash join")
+    val shuffles = flat.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    shuffles.foreach { e =>
+      // corpus-sized exchanges carry (doc_id, three ints) — never the
+      // document body, token arrays, or raw gram rows
+      val names = e.output.map(_.name).toSet
+      assert(names.intersect(Set("text", "toks", "b")).isEmpty,
+        s"exchange shuffles gram/document payload: $names")
+    }
+  }
 }
