@@ -375,4 +375,68 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dd.length == Tables.load(spark, sf, "documents")
       .select(md5(trim(lower(col("text"))))).distinct().count().toInt)
   }
+
+  test("ss11 hybrid RRF equals a single-threaded mirror of both lanes and the fusion") {
+    // independent algorithm: plain Scala maps/sorts over the collected
+    // fixtures (no DataFrames), same tiebreaks, same two-division RRF
+    val docsRaw = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val embRaw = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val qDocs = docsRaw.filter(_._1 < 10)
+    val cDocs = docsRaw.filter(_._1 >= 10)
+    val toks = docsRaw.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val tf = cDocs.map { case (id, _) =>
+      id -> toks(id).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    }.toMap
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, g) => w -> g.size }
+    val n = cDocs.length
+    val rare = dfm.filter { case (_, df) => df * 10 <= n }.keySet
+    def topLex(q: Long): Seq[(Long, Int)] = {
+      val qs = toks(q).distinct.filter(rare)
+      cDocs.map(_._1).flatMap { c =>
+        val hit = qs.filter(tf(c).contains)
+        if (hit.isEmpty) None
+        else Some((c, hit.map(tf(c)).sum, hit.size))
+      }.sortBy { case (c, s, m) => (-s, -m, c) }.take(20)
+        .zipWithIndex.map { case ((c, _, _), i) => (c, i + 1) }.toSeq
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      // sequential-order accumulation — ArrayDotProduct's contract
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    val embM = embRaw.toMap
+    def topVec(q: Long): Seq[(Long, Int)] =
+      embRaw.filter(_._1 >= 10).map { case (c, v) => (c, cos(embM(q), v)) }
+        .sortBy { case (c, s) => (-s, c) }.take(20)
+        .zipWithIndex.map { case ((c, _), i) => (c, i + 1) }.toSeq
+    val expect = qDocs.map(_._1).flatMap { q =>
+      val lr = topLex(q).toMap
+      val vr = topVec(q).toMap
+      (lr.keySet ++ vr.keySet).toSeq.map { c =>
+        val rrf = lr.get(c).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          vr.get(c).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (q, c, lr.get(c), vr.get(c), rrf)
+      }.sortBy { case (_, c, _, _, rrf) => (-rrf, c) }.take(10)
+        .zipWithIndex.map { case ((qq, c, l, v, rrf), i) =>
+          (qq, c, i + 1, l, v, BigDecimal(rrf).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSet
+    val got = rows("ss11_hybrid_rrf").map { r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        r.getDouble(5))
+    }.toSet
+    assert(got == expect,
+      s"missing ${expect.diff(got).take(3)}, extra ${got.diff(expect).take(3)}")
+    // each query's fused ranks are contiguous 1..k
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).toSeq.sorted == (1 to rs.size))
+    }
+  }
 }
