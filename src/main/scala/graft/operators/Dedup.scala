@@ -663,6 +663,36 @@ object Dedup {
       s.read.parquet(clusterTableDir(s, d))
         .select(col("doc_id"), col("rep_id"), col("comp_id"), col("n_members"))),
 
+    // SOFT DEDUP — duplicate-aware Bernoulli sampling: instead of dd12's
+    // hard "keep the representative", keep each doc independently with
+    // P = 1/cluster_size (one expected survivor per near-dup cluster,
+    // any member equally likely), plus the 1/size weight column for the
+    // reweight-don't-drop consumers (the SemDeDup/D4 line: duplicates
+    // bias training mass, and either dropping OR down-weighting corrects
+    // it). The coin is the doc's own content hash — u48 = first 48 md5
+    // bits — so the sample is deterministic, reproducible, and
+    // coordination-free: no per-cluster argmin, no extra shuffle beyond
+    // the size join; embarrassingly parallel at 100 TB.
+    //
+    // The keep predicate is u48 <= (2^48-1) div n — INTEGER division,
+    // never u48·n (which overflows long for clusters past 2^15 members —
+    // duplicate bombs at corpus scale are exactly when this op matters).
+    // Bias vs true 1/n is < n/2^48. Both engines compute the identical
+    // integer threshold; the hex prefix parses exactly (conv /
+    // '0x'::BIGINT — 12 hex chars < 2^53, the pp05 portability
+    // argument). Singleton clusters keep everything: threshold = 2^48-1.
+    "dd17_soft_dedup_sample" -> ((s, d) => {
+      val ct = s.read.parquet(clusterTableDir(s, d))
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+            .cast("long").as("u48"))
+        .join(ct, "doc_id")
+        .filter(col("u48") <= expr("281474976710655L div n_members"))
+        .select(col("doc_id"), col("source"), col("comp_id"), col("n_members"),
+          round(lit(1.0) / col("n_members"), 9).as("weight_r"))
+    }),
+
     // Embedding near-dup: cosine similarity above threshold on a bounded
     // subset (ground truth for the ANN path in Similarity).
     "dd06_embedding_neardup" -> ((s, d) => {
@@ -1167,6 +1197,17 @@ object Dedup {
 
     // dd09's recursive reachability + the membership/size joins — the
     // cluster table is the docs-to-components map with component sizes
+    // same component CTE; the keep coin re-derived from md5(text), the
+    // threshold the same integer division (// in DuckDB, div in Spark)
+    "dd17_soft_dedup_sample" -> s"""$ComponentOracleCte,
+      dc AS (SELECT m.doc_id, comp.comp_id FROM m JOIN comp USING (rep_id)),
+      sz AS (SELECT comp_id, COUNT(*) AS n_members FROM dc GROUP BY comp_id)
+      SELECT d.doc_id, d.source, dc.comp_id, sz.n_members,
+             ROUND(CAST(1 AS DOUBLE) / sz.n_members, 9) AS weight_r
+      FROM documents d JOIN dc USING (doc_id) JOIN sz USING (comp_id)
+      WHERE ('0x' || substring(md5(d.text), 1, 12))::BIGINT
+            <= 281474976710655 // sz.n_members""",
+
     "dd12_dedup_clusters" -> s"""$ComponentOracleCte,
       dc AS (SELECT m.doc_id, m.rep_id, comp.comp_id
              FROM m JOIN comp USING (rep_id)),

@@ -479,6 +479,27 @@ object Similarity {
           col("lex_rank"), col("vec_rank"), round(col("rrf"), 9).as("rrf_r"))
     }),
 
+    // ANN EVALUATION HARNESS — recall@k of the production index against
+    // exact ground truth, the report every pipeline runs after (re)building
+    // an ANN index and before switching serving to it: per query, how many
+    // of the exact top-5 did the LSH lane return? Composes the two shipped
+    // lanes verbatim (ss01 exact, ss02 LSH) — an eval op should measure
+    // the production code path, not a reimplementation. Integer hit
+    // counts + one final division (engine-exact); the join touches
+    // O(queries·k) rows, so the harness adds nothing to either lane's
+    // scale shape.
+    "ss12_ann_recall_report" -> ((s, d) => {
+      val exact = queries("ss01_cosine_topk")(s, d).select(col("q_id"), col("c_id"))
+      val ann = queries("ss02_ann_lsh_topk")(s, d)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "c_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("n_exact"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall_r"))
+    }),
+
     // Per-label centroid norms — a coarse-quantization (IVF-style) summary:
     // centroid = mean vector per label, computed dimension-wise via
     // posexplode + re-aggregation (pure shuffle ops, linear scale).
@@ -568,6 +589,23 @@ object Similarity {
       $out"""
   }
 
+  /** ss01's oracle, shared verbatim with ss12's exact lane. */
+  private val ss01Sql = """
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id >= 10),
+           scored AS (
+             SELECT q_id, c_id, list_cosine_similarity(q.v, c.v) AS cos
+             FROM q CROSS JOIN c),
+           ranked AS (
+             SELECT q_id, c_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cos DESC, c_id) AS rank
+             FROM scored)
+      SELECT q_id, c_id, rank, ROUND(cos, 6) AS cos_r
+      FROM ranked WHERE rank <= 5"""
+
   val oracles: Map[String, String] = Map(
     "ss10_mmr_diversify" -> mmrOracleSql(5),
 
@@ -601,21 +639,24 @@ object Similarity {
       SELECT q_id, c_id, rank, ROUND(cos, 6) AS cos_r
       FROM ranked WHERE rank <= 5""",
 
-    "ss01_cosine_topk" -> """
-      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings WHERE vec_id < 10),
-           c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings WHERE vec_id >= 10),
-           scored AS (
-             SELECT q_id, c_id, list_cosine_similarity(q.v, c.v) AS cos
-             FROM q CROSS JOIN c),
-           ranked AS (
-             SELECT q_id, c_id, cos,
-                    ROW_NUMBER() OVER (PARTITION BY q_id
-                                       ORDER BY cos DESC, c_id) AS rank
-             FROM scored)
-      SELECT q_id, c_id, rank, ROUND(cos, 6) AS cos_r
-      FROM ranked WHERE rank <= 5""",
+    "ss01_cosine_topk" -> ss01Sql,
+
+    // ANN evaluation harness: recall@5 of the LSH index (ss02's mirror)
+    // against the exact top-5 (ss01's SQL), both lanes re-derived by
+    // DuckDB from the fixtures alone — full-statement mirrors compose
+    // as parenthesized subqueries
+    "ss12_ann_recall_report" -> s"""
+      WITH exact AS (SELECT q_id, c_id FROM ($ss01Sql)),
+           ann AS (SELECT q_id, c_id FROM (${OracleMirror.lshTopKSql(
+      "vec_id < 10", "vec_id >= 10", LshTables, LshBits, lshDim)}))
+      SELECT e.q_id, COUNT(*) AS n_exact,
+             CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             ROUND(CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) / COUNT(*), 6) AS recall_r
+      FROM exact e LEFT JOIN ann a
+        ON e.q_id = a.q_id AND e.c_id = a.c_id
+      GROUP BY e.q_id""",
 
     "ss05_radius_search" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -244,6 +244,158 @@ object TextAnalysis {
           round(col("known_bg").cast("double") / col("n_bg"), 6).as("bigram_cov"))
     }),
 
+    // QUALITY RULE CASCADE — the Gopher/FineWeb-style ordered filter
+    // gate with per-rule attribution: each doc is tested against the
+    // rule chain (too_short → too_long → word_length → low_stopword →
+    // repetition) and charged to the FIRST rule it fails; the report is
+    // the per-source drop ledger a corpus curator reads before shipping
+    // a filter config (which rule costs how much of which source). On
+    // the fixtures: low_stopword and too_short fire, repetition rarely,
+    // the length/word-length bounds are headroom (real-corpus rules kept
+    // in the chain so the attribution order is the production one).
+    //
+    // Numerics: every rule is an INTEGER cross-multiplication
+    // (stopc·20 < n, not stopc/n < 0.05; maxf·5 > n; 2n ≤ sumchars ≤
+    // 12n via sumchars = len − (n−1)) — no ratio floats anywhere, so
+    // the gate is engine- and shuffle-order-exact. The kept ratio is
+    // the single final division. Shape: per-doc work is map-side
+    // (tx09's zero-shuffle run-length kernel gives max token freq
+    // without exploding); the only exchange is the K-source rollup.
+    "tx14_rule_cascade" -> ((s, d) => {
+      val ws = tokens(col("text"))
+      val t = docs(s, d).select(col("source"),
+        size(ws).cast("long").as("n"),
+        stopCount(ws).cast("long").as("stopc"),
+        runLengthStats(sort_array(ws)).getField("max_run").cast("long").as("maxf"),
+        (length(col("text")) - (size(ws) - 1)).cast("long").as("sumch"))
+      val ruled = t.withColumn("fail_rule",
+        when(col("n") < 20, "too_short")
+          .when(col("n") > 1000, "too_long")
+          .when(col("sumch") < lit(2) * col("n") ||
+            col("sumch") > lit(12) * col("n"), "word_length")
+          .when(col("stopc") * 20 < col("n"), "low_stopword")
+          .when(col("maxf") * 5 > col("n"), "repetition"))
+      ruled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("fail_rule").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("fail_rule") === "too_short", 1L).otherwise(0L))
+            .as("n_too_short"),
+          sum(when(col("fail_rule") === "too_long", 1L).otherwise(0L))
+            .as("n_too_long"),
+          sum(when(col("fail_rule") === "word_length", 1L).otherwise(0L))
+            .as("n_word_length"),
+          sum(when(col("fail_rule") === "low_stopword", 1L).otherwise(0L))
+            .as("n_low_stopword"),
+          sum(when(col("fail_rule") === "repetition", 1L).otherwise(0L))
+            .as("n_repetition"))
+        .withColumn("kept_ratio",
+          round(col("n_kept").cast("double") / col("n_docs"), 6))
+    }),
+
+    // BPE MERGE TRAINING — the first R=6 merge rules of byte-pair
+    // encoding (Sennrich et al. ACL'16), the tokenizer-training pass
+    // every LLM corpus pipeline runs before packing. Classic type-table
+    // formulation: the corpus reduces ONCE to (word type, freq) — rounds
+    // then touch only the vocabulary-sized type table, never the corpus
+    // (the Sennrich trick; at 100 TB the type table is millions of rows
+    // where the corpus is trillions of tokens). Each round: count
+    // adjacent symbol pairs weighted by word freq (map-side explode →
+    // pair-keyed agg), pick the argmax under the total order
+    // (count desc, pair asc), merge it greedily left-to-right in every
+    // word. Words carry the end-of-word marker `_` so final and medial
+    // units learn separately, as in the paper.
+    //
+    // The merge step is pure string algebra both engines share exactly:
+    // double every separator, replace ' w1  w2 ' with ' w1w2 ', collapse
+    // — the doubled gaps make consecutive matches disjoint, so the
+    // result is the greedy non-overlapping left-to-right merge in ANY
+    // replace-all implementation, and single spaces around the pattern
+    // make token boundaries unforgeable (symbols are space-free).
+    // Each round's type table and argmax pin via eager localCheckpoint —
+    // the iterative-loop discipline (dd09's lesson): R rounds of plan
+    // growth would otherwise re-embed every prior round's subplan at
+    // each reference.
+    "tx13_bpe_merges" -> ((s, d) => {
+      val rounds = 6
+      var words = docs(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" _"))
+          .as("sym"), col("freq"))
+        .localCheckpoint(true)
+      val merges = (1 to rounds).map { r =>
+        val best = words
+          .select(col("freq"), split(col("sym"), " ").as("ss"))
+          .filter(size(col("ss")) >= 2) // sequence() reverses below 2
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(col("ss")) - 1),
+            i => struct(element_at(col("ss"), i).as("w1"),
+              element_at(col("ss"), i + 1).as("w2")))).as("p"))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+          .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
+          .localCheckpoint(true)
+        words = words.crossJoin(broadcast(best.select(
+            concat(lit(" "), col("w1"), lit("  "), col("w2"), lit(" ")).as("pat"),
+            concat(lit(" "), col("w1"), col("w2"), lit(" ")).as("rep"))))
+          .select(trim(replace(replace(replace(
+            concat(lit(" "), col("sym"), lit(" ")), lit(" "), lit("  ")),
+            col("pat"), col("rep")), lit("  "), lit(" "))).as("sym"), col("freq"))
+          .localCheckpoint(true)
+        best
+      }
+      merges.reduce(_ union _)
+        .select(col("round"), col("w1"), col("w2"),
+          concat(col("w1"), col("w2")).as("merged"), col("cnt"))
+    }),
+
+    // KNESER-NEY LM STATISTICS — the count tables an interpolated-KN
+    // bigram model is built from (Kneser & Ney ICASSP'95; the KenLM
+    // training pass over a corpus): per bigram c(w1 w2); per left word
+    // the total continuation mass c(w1 •) and fan-out N1+(w1 •); per
+    // right word the distinct-left-context count N1+(• w2) — KN's key
+    // insight: a word's unigram backoff weight is how many CONTEXTS it
+    // follows, not how often it occurs ("San Francisco" makes
+    // "Francisco" frequent but single-context). Output: top-40 bigrams
+    // by count with the interpolated-KN probability at discount 0.75.
+    //
+    // Numerics: every count is exact-integer; p_kn is a FIXED expression
+    // per row (two subtractions/divisions, one multiply chain, one add —
+    // each op correctly-rounded IEEE, no accumulation), written with the
+    // identical tree on both engines — no log(), the tx06 discipline
+    // (published KN uses log-space only to avoid underflow at query
+    // time; the probabilities themselves are rational).
+    //
+    // Scale shape: one map-side pair explode → bigram-keyed agg; the w1
+    // and w2 marginals re-aggregate the (already vocabulary²-bounded)
+    // bigram table on each key — dictionary-sized exchanges, unhinted
+    // joins (tx10's discipline); the type total is a scalar broadcast;
+    // final top-k is TakeOrderedAndProject. Linear at any corpus size.
+    "tx12_kn_lm_stats" -> ((s, d) => {
+      val t = docs(s, d).select(tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2) // sequence() reverses below 2
+      val pairs = t.select(explode(transform(
+          sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val left = bg.groupBy(col("w1"))
+        .agg(sum(col("c")).as("c1"), count(lit(1)).as("n_right"))
+      val right = bg.groupBy(col("w2")).agg(count(lit(1)).as("n_left"))
+      val btypes = bg.agg(count(lit(1)).as("b"))
+      bg.join(left, "w1").join(right, "w2").crossJoin(broadcast(btypes))
+        .select(col("w1"), col("w2"), col("c"), col("c1"),
+          col("n_right"), col("n_left"),
+          round((col("c") - lit(0.75)) / col("c1") +
+            (lit(0.75) * col("n_right") / col("c1")) *
+              (col("n_left") / col("b")), 9).as("pkn_r"))
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(40)
+    }),
+
     "tx10_boilerplate" -> ((s, d) => {
       val bgs = docs(s, d)
         .select(col("source"), col("doc_id"),
@@ -291,6 +443,9 @@ object TextAnalysis {
 
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // the same markers as a SQL IN tuple (tx14's oracle)
+  private val stopList2 = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
   /** Character 3-gram (shingle) Jaccard near-dup pairs on a bounded subset:
     * the n-gram-level complement of the word-set family — robust to
     * whitespace/token boundary edits. Shingles hash to sorted long sets
@@ -313,7 +468,82 @@ object TextAnalysis {
     })
   )
 
+  /** tx13's oracle: the whole R-round BPE training loop re-run by DuckDB
+    * from the fixture alone, one CTE triple (pair counts → argmax →
+    * merged type table) per round — the k-means unrolled-chain pattern.
+    * No trained value crosses over; the merge algebra is the identical
+    * doubled-separator replace chain. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val w0 = """
+      WITH w0 AS (
+        SELECT concat(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' _') AS sym,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        WHERE w != '' GROUP BY w)"""
+    val steps = (1 to rounds).map { r =>
+      s"""
+      p$r AS (
+        SELECT ss[i] AS w1, ss[i + 1] AS w2, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT string_split(sym, ' ') AS ss, freq FROM w${r - 1}) t,
+             UNNEST(range(1, LEN(ss))) AS u(i)
+        GROUP BY w1, w2),
+      b$r AS (SELECT $r AS round, w1, w2, cnt FROM p$r
+              ORDER BY cnt DESC, w1, w2 LIMIT 1),
+      w$r AS (
+        SELECT trim(replace(replace(replace(' ' || sym || ' ', ' ', '  '),
+                 ' ' || b.w1 || '  ' || b.w2 || ' ',
+                 ' ' || b.w1 || b.w2 || ' '), '  ', ' ')) AS sym, freq
+        FROM w${r - 1}, b$r b)"""
+    }.mkString(",", ",", "")
+    val tail = (1 to rounds)
+      .map(r => s"SELECT round, w1, w2, w1 || w2 AS merged, cnt FROM b$r")
+      .mkString("\n      UNION ALL ")
+    w0 + steps + "\n      " + tail
+  }
+
   val oracles: Map[String, String] = Map(
+    "tx13_bpe_merges" -> bpeOracleSql(6),
+
+    // same integer cross-multiplied rules, same CASE order; the token
+    // stats come from an explode+agg pass (an independent second
+    // algorithm vs the Spark side's map-side run-length kernel)
+    "tx14_rule_cascade" -> s"""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+                        LEN(text) AS len
+                 FROM documents),
+      x AS (SELECT doc_id, UNNEST(ws) AS w FROM t),
+      c AS (SELECT doc_id, w, COUNT(*) AS c FROM x GROUP BY doc_id, w),
+      agg AS (SELECT doc_id, MAX(c) AS maxf,
+                     CAST(SUM(CASE WHEN w IN $stopList2 THEN c ELSE 0 END)
+                          AS BIGINT) AS stopc,
+                     CAST(SUM(c) AS BIGINT) AS n
+              FROM c GROUP BY doc_id),
+      r AS (SELECT source, n,
+                   CASE WHEN n < 20 THEN 'too_short'
+                        WHEN n > 1000 THEN 'too_long'
+                        WHEN len - (n - 1) < 2 * n
+                          OR len - (n - 1) > 12 * n THEN 'word_length'
+                        WHEN stopc * 20 < n THEN 'low_stopword'
+                        WHEN maxf * 5 > n THEN 'repetition'
+                        END AS fail_rule
+            FROM t JOIN agg USING (doc_id))
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN fail_rule IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN fail_rule = 'too_short' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_too_short,
+             CAST(SUM(CASE WHEN fail_rule = 'too_long' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_too_long,
+             CAST(SUM(CASE WHEN fail_rule = 'word_length' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_word_length,
+             CAST(SUM(CASE WHEN fail_rule = 'low_stopword' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_low_stopword,
+             CAST(SUM(CASE WHEN fail_rule = 'repetition' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_repetition,
+             ROUND(CAST(SUM(CASE WHEN fail_rule IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) / COUNT(*), 6) AS kept_ratio
+      FROM r GROUP BY source""",
+
     // same split, same gram equivalence classes (space-joined bigrams over
     // space-split tokens are injective — tokens cannot contain spaces),
     // same integer sums + single final rounded division
@@ -366,6 +596,26 @@ object TextAnalysis {
       SELECT t.doc_id, t.n_tokens, t.n_distinct, t.max_tok_freq,
              t.dup_coverage, COALESCE(b.max_bigram_freq, 0) AS max_bigram_freq
       FROM tstats t LEFT JOIN bstats b USING (doc_id)""",
+
+    // identical count tables and the identical p_kn expression tree —
+    // 0.75 forced to DOUBLE (a bare literal is DECIMAL in DuckDB and
+    // would route the arithmetic through decimal, not IEEE)
+    "tx12_kn_lm_stats" -> """
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+           p AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+                 FROM t, UNNEST(range(1, LEN(toks))) AS u(i)),
+           bg AS (SELECT w1, w2, COUNT(*) AS c FROM p GROUP BY w1, w2),
+           l AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+                        COUNT(*) AS n_right
+                 FROM bg GROUP BY w1),
+           r AS (SELECT w2, COUNT(*) AS n_left FROM bg GROUP BY w2),
+           b AS (SELECT COUNT(*) AS b FROM bg)
+      SELECT w1, w2, c, c1, n_right, n_left,
+             ROUND((c - CAST(0.75 AS DOUBLE)) / c1 +
+                   (CAST(0.75 AS DOUBLE) * n_right / c1) * (n_left / b),
+                   9) AS pkn_r
+      FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN b
+      ORDER BY c DESC, w1, w2 LIMIT 40""",
 
     "tx10_boilerplate" -> """
       WITH bgs AS (

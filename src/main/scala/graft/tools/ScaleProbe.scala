@@ -139,7 +139,19 @@ object ScaleProbe {
       // 10× gram volume with the weight/threshold exchanges pinned to
       // bucket/histogram size (the scale claim: corpus shuffles carry
       // ids+ints, never grams)
-      "pp14_dsir_select")
+      "pp14_dsir_select",
+      // r12 (session 2): the four late-round operators. tx13/tx12 are the
+      // type-table scale demos — exact-copy ×10 multiplies every word and
+      // bigram FREQUENCY by 10 while the type tables stay byte-identical,
+      // so BPE rounds and KN marginals should be ~flat one decade right
+      // (the Sennrich type-table argument, measured). dd17 rides the
+      // dd12 artifact already built by this lane (clusters grow to ≥10
+      // members — every original singleton becomes a 10-copy cluster,
+      // the op's own design regime). ss11's corpus grows 10× in both
+      // lanes (postings + brute-force vector); the fusion tail stays
+      // O(queries·40) by construction
+      "tx12_kn_lm_stats", "tx13_bpe_merges", "dd17_soft_dedup_sample",
+      "ss11_hybrid_rrf")
     buildPerturbed(spark)
     // the text-operator lane runs on BOTH ×10 regimes: exact-copy (their
     // saturation worst case, inside `queries` below) and perturbed
@@ -157,7 +169,13 @@ object ScaleProbe {
       // score histogram grows toward distinct-per-doc, the worst case
       // for the threshold scan's input (still O(distinct scores), never
       // O(corpus) in one task)
-      "pp14_dsir_select")
+      "pp14_dsir_select",
+      // r12 (session 2): the perturbed twins MINT new word and bigram
+      // types (every 16th token rewritten), so this lane is the
+      // vocabulary-GROWTH regime for the type-table pair — tx12's
+      // marginals and tx13's per-round pair table grow with the minted
+      // vocabulary (bounded by type count, never corpus tokens)
+      "tx12_kn_lm_stats", "tx13_bpe_merges")
     // tier names are the artifact's stable keys; the dirs ride alongside
     // so a reader can reproduce any row
     val tierOf = Map(Src -> "sf0.1", Dst -> "sf1_exact", DstP -> "sf1_perturbed")

@@ -491,4 +491,120 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sel - expected.count(t => t._7 == 1 && t._6 == thr) < k,
       "the θ tie-run must be needed to meet the quota")
   }
+
+  test("tx14 rule cascade equals a single-threaded first-failing-rule mirror") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val docsRaw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val ruled = docsRaw.map { case (src, text) =>
+      val ws = text.split(" ", -1)
+      val n = ws.length.toLong
+      val stopc = ws.count(stop).toLong
+      val maxf = ws.groupBy(identity).values.map(_.length).max.toLong
+      val sumch = text.length - (n - 1)
+      val rule =
+        if (n < 20) "too_short"
+        else if (n > 1000) "too_long"
+        else if (sumch < 2 * n || sumch > 12 * n) "word_length"
+        else if (stopc * 20 < n) "low_stopword"
+        else if (maxf * 5 > n) "repetition"
+        else null
+      (src, rule)
+    }
+    val expect = ruled.groupBy(_._1).map { case (src, rs) =>
+      val by = rs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val kept = by.getOrElse(null, 0L)
+      (src, rs.length.toLong, kept, by.getOrElse("too_short", 0L),
+        by.getOrElse("too_long", 0L), by.getOrElse("word_length", 0L),
+        by.getOrElse("low_stopword", 0L), by.getOrElse("repetition", 0L),
+        BigDecimal(kept.toDouble / rs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = SparkEntry.queries("tx14_rule_cascade")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7), r.getDouble(8))).toSet
+    assert(got == expect, s"missing ${expect.diff(got)}, extra ${got.diff(expect)}")
+    // the ledger balances: every doc is kept or charged to exactly one rule
+    got.foreach { case (_, nd, k, a, b, c, dd, e, _) =>
+      assert(k + a + b + c + dd + e == nd)
+    }
+    // the gate discriminates on the fixture (not all-kept, not all-dropped)
+    assert(got.exists(_._3 > 0) && got.exists(t => t._2 > t._3))
+  }
+
+  test("tx13 BPE merges equal a single-threaded pair-merge mirror") {
+    // the classic list-walk BPE (Sennrich et al.), no string algebra —
+    // an independent second implementation of the merge semantics
+    val freq = new scala.collection.mutable.HashMap[String, Long]()
+    docTokens().values.foreach(_.foreach(w =>
+      if (w.nonEmpty) freq.updateWith(w)(c => Some(c.getOrElse(0L) + 1))))
+    var words: Map[Vector[String], Long] =
+      freq.map { case (w, f) => (w.map(_.toString).toVector :+ "_") -> f }.toMap
+    val expect = (1 to 6).map { r =>
+      val pc = new scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (sym, f) =>
+        sym.sliding(2).foreach { p =>
+          if (p.length == 2)
+            pc.updateWith((p(0), p(1)))(c => Some(c.getOrElse(0L) + f))
+        }
+      }
+      val ((x, y), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+      words = words.map { case (sym, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i < sym.length - 1 && sym(i) == x && sym(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        out.result() -> f
+      }
+      (r, x, y, x + y, c)
+    }.toSet
+    val got = SparkEntry.queries("tx13_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(got == expect, s"expected $expect\ngot $got")
+    // the rules are a usable tokenizer seed: all counts positive and
+    // monotone non-increasing is NOT required (merged symbols create new
+    // pairs), but every chosen pair must have been the round's max
+    assert(got.forall(_._5 > 0))
+  }
+
+  test("tx12 KN statistics equal a single-threaded count mirror") {
+    val toks = docTokens()
+    val bgCounts = new scala.collection.mutable.HashMap[(String, String), Long]()
+    toks.values.foreach { ts =>
+      var i = 0
+      while (i < ts.length - 1) {
+        bgCounts.updateWith((ts(i), ts(i + 1)))(c => Some(c.getOrElse(0L) + 1)); i += 1
+      }
+    }
+    val c1 = bgCounts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nRight = bgCounts.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val nLeft = bgCounts.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val b = bgCounts.size.toLong
+    val expect = bgCounts.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(40)
+      .map { case ((w1, w2), c) =>
+        val pkn = (c - 0.75) / c1(w1) +
+          (0.75 * nRight(w1) / c1(w1)) * (nLeft(w2).toDouble / b)
+        (w1, w2, c, c1(w1), nRight(w1), nLeft(w2),
+          BigDecimal(pkn).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+    val got = SparkEntry.queries("tx12_kn_lm_stats")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(got == expect,
+      s"missing ${expect.diff(got).take(3)}, extra ${got.diff(expect).take(3)}")
+    // KN sanity on the real corpus: every probability in (0, 1], and the
+    // continuation insight holds — n_left (distinct contexts) never
+    // exceeds the raw bigram count mass
+    got.foreach { case (_, _, c, cc1, _, nl, p) =>
+      assert(p > 0 && p <= 1.0, s"p_kn $p out of range")
+      assert(c <= cc1 && nl <= b)
+    }
+  }
 }

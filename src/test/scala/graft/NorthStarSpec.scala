@@ -376,6 +376,62 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(md5(trim(lower(col("text"))))).distinct().count().toInt)
   }
 
+  test("ss12 recall report equals the independent intersection of its two lanes") {
+    val exact = rows("ss01_cosine_topk")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = rows("ss02_ann_lsh_topk")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows("ss12_ann_recall_report")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == exact.map(_._1).toSet, "one row per query")
+    got.foreach { case (q, nExact, nHits, recall) =>
+      assert(nExact == 5L, s"query $q ground truth size")
+      val hits = exact.filter(_._1 == q).count(ann.contains).toLong
+      assert(nHits == hits, s"query $q hits")
+      assert(recall == BigDecimal(hits.toDouble / 5)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // macro recall matches the standing LSH recall expectations
+    val macroR = got.map(_._3).sum.toDouble / (5 * got.length)
+    info(f"ANN recall@5 vs exact: $macroR%.3f")
+    assert(macroR >= 0.7, f"LSH recall@5 $macroR%.3f below the multi-probe bar")
+  }
+
+  test("dd17 soft dedup: content-hash coin mirrors exactly, singletons always kept") {
+    val ct = rows("dd12_dedup_clusters")
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def u48(t: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString, 16)
+    val expectKeep = texts.keySet.filter { id =>
+      val (_, n) = ct(id)
+      u48(texts(id)) <= 281474976710655L / n
+    }
+    val got = rows("dd17_soft_dedup_sample")
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet == expectKeep)
+    got.foreach { case (id, comp, n, w) =>
+      assert((comp, n) == ct(id), s"doc $id cluster row drifted")
+      assert(w == BigDecimal(1.0 / n).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, s"doc $id weight")
+    }
+    // P(keep | singleton) = 1 exactly: threshold is 2^48-1, every u48 fits
+    val singletons = ct.filter(_._2._2 == 1L).keySet
+    assert(singletons.subsetOf(got.map(_._1).toSet), "a singleton was dropped")
+    // the sample thins duplicated clusters: strictly fewer docs than input,
+    // at least one per-cluster expectation's worth kept overall
+    assert(got.length < texts.size && got.nonEmpty)
+    // overflow guard: the integer-division threshold stays sane for a
+    // duplicate-bomb cluster far past the u48*n overflow point
+    val big = spark.sql(
+      "SELECT 281474976710655L div CAST(1099511627776 AS BIGINT) AS thr")
+      .head().getLong(0)
+    assert(big == 255L, s"2^48-1 div 2^40 = $big")
+  }
+
   test("ss11 hybrid RRF equals a single-threaded mirror of both lanes and the fusion") {
     // independent algorithm: plain Scala maps/sorts over the collected
     // fixtures (no DataFrames), same tiebreaks, same two-division RRF
