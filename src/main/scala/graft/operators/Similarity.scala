@@ -138,6 +138,61 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
   }
 
+  /** ss11/ss13 shared hybrid serve: both retrieval lanes + the RRF fusion
+    * for the given query-id batch (`qIds`: one `q_id` column — a serve
+    * request knows its ids; text and vectors re-join from the corpus
+    * tables). The query batch BROADCASTs through both lanes. */
+  private[graft] def hybridRrf(s: SparkSession, d: String,
+      qIds: DataFrame): DataFrame = {
+    import graft.functions.TextOps
+    val docsT = Tables.load(s, d, "documents")
+    // lexical lane: query terms (distinct) x corpus postings, rare-term
+    // gated, scored by exact integer Σtf with n_match/c_id tiebreaks
+    val qterms = docsT.join(broadcast(qIds), col("doc_id") === col("q_id"))
+      .select(col("q_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+    val postings = docsT.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("c_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("c_id")).agg(count(lit(1)).as("tf"))
+    val dfT = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docsT.filter(col("doc_id") >= 10).agg(count(lit(1)).as("n"))
+    val rare = dfT.crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10 <= col("n")).select(col("term"))
+    val wl = Window.partitionBy(col("q_id"))
+      .orderBy(col("lex_score").desc, col("n_match").desc, col("c_id"))
+    val lex = broadcast(qterms).join(rare, "term").join(postings, "term")
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("tf")).as("lex_score"), count(lit(1)).as("n_match"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= 20)
+      .select(col("q_id"), col("c_id"), col("lex_rank"))
+    // vector lane: exact cosine top-20 (ss08's served index is the
+    // drop-in scale path — same (q_id, c_id, rank) interface)
+    val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qv = e.join(broadcast(qIds), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("q_v"))
+    val cv = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val vec = qv.crossJoin(cv)
+      .select(col("q_id"), col("c_id"), cosineD(col("q_v"), col("c_v")).as("cos"))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= 20)
+      .select(col("q_id"), col("c_id"), col("vec_rank"))
+    // RRF fusion: a candidate missing from one lane contributes 0 there
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("c_id"))
+    lex.join(vec, Seq("q_id", "c_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(wf))
+      .filter(col("fused_rank") <= 10)
+      .select(col("q_id"), col("c_id"), col("fused_rank"),
+        col("lex_rank"), col("vec_rank"), round(col("rrf"), 9).as("rrf_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-5 neighbors for 10 query vectors by brute-force cosine.
     "ss01_cosine_topk" -> ((s, d) => {
@@ -429,54 +484,27 @@ object Similarity {
     // only sees (q_id, c_id, rank) triples either way. Per-query top-k
     // windows partition across queries; the fusion full-outer join and
     // final window touch <= 40 rows per query.
-    "ss11_hybrid_rrf" -> ((s, d) => {
-      import graft.functions.TextOps
-      val docsT = Tables.load(s, d, "documents")
-      // lexical lane: query terms (distinct) x corpus postings, rare-term
-      // gated, scored by exact integer Σtf with n_match/c_id tiebreaks
-      val qterms = docsT.filter(col("doc_id") < 10)
-        .select(col("doc_id").as("q_id"),
-          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
-      val postings = docsT.filter(col("doc_id") >= 10)
-        .select(col("doc_id").as("c_id"),
-          explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy(col("term"), col("c_id")).agg(count(lit(1)).as("tf"))
-      val dfT = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val nDocs = docsT.filter(col("doc_id") >= 10).agg(count(lit(1)).as("n"))
-      val rare = dfT.crossJoin(broadcast(nDocs))
-        .filter(col("df") * 10 <= col("n")).select(col("term"))
-      val wl = Window.partitionBy(col("q_id"))
-        .orderBy(col("lex_score").desc, col("n_match").desc, col("c_id"))
-      val lex = broadcast(qterms).join(rare, "term").join(postings, "term")
-        .groupBy(col("q_id"), col("c_id"))
-        .agg(sum(col("tf")).as("lex_score"), count(lit(1)).as("n_match"))
-        .withColumn("lex_rank", row_number().over(wl))
-        .filter(col("lex_rank") <= 20)
-        .select(col("q_id"), col("c_id"), col("lex_rank"))
-      // vector lane: exact cosine top-20 (ss08's served index is the
-      // drop-in scale path — same (q_id, c_id, rank) interface)
-      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val qv = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-      val cv = e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
-      val wv = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("c_id"))
-      val vec = qv.crossJoin(cv)
-        .select(col("q_id"), col("c_id"), cosineD(col("q_v"), col("c_v")).as("cos"))
-        .withColumn("vec_rank", row_number().over(wv))
-        .filter(col("vec_rank") <= 20)
-        .select(col("q_id"), col("c_id"), col("vec_rank"))
-      // RRF fusion: a candidate missing from one lane contributes 0 there
-      val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("c_id"))
-      lex.join(vec, Seq("q_id", "c_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
-        .withColumn("fused_rank", row_number().over(wf))
-        .filter(col("fused_rank") <= 10)
-        .select(col("q_id"), col("c_id"), col("fused_rank"),
-          col("lex_rank"), col("vec_rank"), round(col("rrf"), 9).as("rrf_r"))
+    "ss11_hybrid_rrf" -> ((s, d) =>
+      hybridRrf(s, d, emb(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id")))),
+
+    // The SAME hybrid serve as a streaming endpoint: query ids arrive as
+    // file-source micro-batches, each trigger runs the full two-lane
+    // fusion for ITS batch inside foreachBatch (the ss09 production
+    // shape — per-batch work is a full batch plan). The fusion is
+    // per-query independent, so the drained union across triggers equals
+    // the one-shot batch answer exactly — ss13 oracles against ss11's
+    // SQL verbatim, and drift in either lane breaks both gates visibly.
+    // A deployment swaps both lanes to materialized indexes (ss08's
+    // partition-pruned LSH serve; a postings table for the lexical
+    // lane) — the per-batch fusion tail is identical either way.
+    "ss13_stream_hybrid_serve" -> ((s, d) => {
+      val qsrc = emb(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      StreamingQueries.drainForeachBatch(s, Seq(
+        qsrc.filter(col("vec_id") < 4),
+        qsrc.filter(col("vec_id") >= 4)))(b =>
+        hybridRrf(s, d, b.select(col("vec_id").as("q_id"))))
     }),
 
     // ANN EVALUATION HARNESS — recall@k of the production index against
@@ -606,6 +634,57 @@ object Similarity {
       SELECT q_id, c_id, rank, ROUND(cos, 6) AS cos_r
       FROM ranked WHERE rank <= 5"""
 
+  /** ss11's oracle — also ss13's: the drained per-batch union equals the
+    * one-shot batch answer because the fusion is per-query independent. */
+  private val ss11Sql = """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      qt AS (SELECT doc_id AS q_id, UNNEST(list_distinct(ws)) AS term
+             FROM d WHERE doc_id < 10),
+      post AS (
+        SELECT c_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id AS c_id, UNNEST(ws) AS term FROM d WHERE doc_id >= 10)
+        GROUP BY c_id, term),
+      dfq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+      nd AS (SELECT COUNT(*) AS n FROM d WHERE doc_id >= 10),
+      rare AS (SELECT term FROM dfq, nd WHERE df * 10 <= n),
+      ls AS (
+        SELECT q_id, c_id, SUM(tf) AS lex_score, COUNT(*) AS n_match
+        FROM qt JOIN rare USING (term) JOIN post USING (term)
+        GROUP BY q_id, c_id),
+      lexr AS (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY lex_score DESC, n_match DESC, c_id) AS lex_rank
+        FROM ls),
+      lex AS (SELECT q_id, c_id, lex_rank FROM lexr WHERE lex_rank <= 20),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      vs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               list_cosine_similarity(q.v, c.v) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+      vecr AS (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, c_id) AS vec_rank
+        FROM vs),
+      vec AS (SELECT q_id, c_id, vec_rank FROM vecr WHERE vec_rank <= 20),
+      fused AS (
+        SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
+               COALESCE(lex.c_id, vec.c_id) AS c_id,
+               lex.lex_rank, vec.vec_rank,
+               COALESCE(CAST(1 AS DOUBLE) / (60 + lex.lex_rank), 0) +
+               COALESCE(CAST(1 AS DOUBLE) / (60 + vec.vec_rank), 0) AS rrf
+        FROM lex FULL OUTER JOIN vec
+          ON lex.q_id = vec.q_id AND lex.c_id = vec.c_id),
+      fr AS (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY rrf DESC, c_id) AS fused_rank,
+               lex_rank, vec_rank, ROUND(rrf, 9) AS rrf_r
+        FROM fused)
+      SELECT q_id, c_id, fused_rank, lex_rank, vec_rank, rrf_r
+      FROM fr WHERE fused_rank <= 10"""
+
   val oracles: Map[String, String] = Map(
     "ss10_mmr_diversify" -> mmrOracleSql(5),
 
@@ -694,54 +773,12 @@ object Similarity {
     // same lanes, same tiebreaks, same two-division RRF arithmetic — the
     // lexical score is integer-exact and the cosine ordering bit-matches
     // (the ss01 precedent), so the fused ranks hash-match exactly
-    "ss11_hybrid_rrf" -> """
-      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      qt AS (SELECT doc_id AS q_id, UNNEST(list_distinct(ws)) AS term
-             FROM d WHERE doc_id < 10),
-      post AS (
-        SELECT c_id, term, COUNT(*) AS tf
-        FROM (SELECT doc_id AS c_id, UNNEST(ws) AS term FROM d WHERE doc_id >= 10)
-        GROUP BY c_id, term),
-      dfq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
-      nd AS (SELECT COUNT(*) AS n FROM d WHERE doc_id >= 10),
-      rare AS (SELECT term FROM dfq, nd WHERE df * 10 <= n),
-      ls AS (
-        SELECT q_id, c_id, SUM(tf) AS lex_score, COUNT(*) AS n_match
-        FROM qt JOIN rare USING (term) JOIN post USING (term)
-        GROUP BY q_id, c_id),
-      lexr AS (
-        SELECT q_id, c_id,
-               ROW_NUMBER() OVER (PARTITION BY q_id
-                 ORDER BY lex_score DESC, n_match DESC, c_id) AS lex_rank
-        FROM ls),
-      lex AS (SELECT q_id, c_id, lex_rank FROM lexr WHERE lex_rank <= 20),
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      vs AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-               list_cosine_similarity(q.v, c.v) AS cos
-        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND c.vec_id >= 10),
-      vecr AS (
-        SELECT q_id, c_id,
-               ROW_NUMBER() OVER (PARTITION BY q_id
-                 ORDER BY cos DESC, c_id) AS vec_rank
-        FROM vs),
-      vec AS (SELECT q_id, c_id, vec_rank FROM vecr WHERE vec_rank <= 20),
-      fused AS (
-        SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
-               COALESCE(lex.c_id, vec.c_id) AS c_id,
-               lex.lex_rank, vec.vec_rank,
-               COALESCE(CAST(1 AS DOUBLE) / (60 + lex.lex_rank), 0) +
-               COALESCE(CAST(1 AS DOUBLE) / (60 + vec.vec_rank), 0) AS rrf
-        FROM lex FULL OUTER JOIN vec
-          ON lex.q_id = vec.q_id AND lex.c_id = vec.c_id),
-      fr AS (
-        SELECT q_id, c_id,
-               ROW_NUMBER() OVER (PARTITION BY q_id
-                 ORDER BY rrf DESC, c_id) AS fused_rank,
-               lex_rank, vec_rank, ROUND(rrf, 9) AS rrf_r
-        FROM fused)
-      SELECT q_id, c_id, fused_rank, lex_rank, vec_rank, rrf_r
-      FROM fr WHERE fused_rank <= 10""",
+    "ss11_hybrid_rrf" -> ss11Sql,
+
+    // the drained union across micro-batches equals the one-shot batch
+    // answer (per-query-independent fusion) — the SAME SQL gates both,
+    // so lane drift breaks both entries visibly
+    "ss13_stream_hybrid_serve" -> ss11Sql,
 
     "ss03_label_centroids" -> """
       WITH expl AS (

@@ -376,6 +376,13 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(md5(trim(lower(col("text"))))).distinct().count().toInt)
   }
 
+  test("ss13 streaming hybrid serve equals batch ss11 exactly (per-query fusion is batch-invariant)") {
+    val batch = rows("ss11_hybrid_rrf").map(_.toSeq).toSet
+    val drained = rows("ss13_stream_hybrid_serve").map(_.toSeq).toSet
+    assert(drained == batch,
+      s"missing ${batch.diff(drained).take(3)}, extra ${drained.diff(batch).take(3)}")
+  }
+
   test("ss12 recall report equals the independent intersection of its two lanes") {
     val exact = rows("ss01_cosine_topk")
       .map(r => (r.getLong(0), r.getLong(1))).toSet
