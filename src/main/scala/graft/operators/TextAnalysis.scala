@@ -316,39 +316,38 @@ object TextAnalysis {
     // growth would otherwise re-embed every prior round's subplan at
     // each reference.
     "tx13_bpe_merges" -> ((s, d) => {
-      val rounds = 6
-      var words = docs(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" _"))
-          .as("sym"), col("freq"))
-        .localCheckpoint(true)
-      val merges = (1 to rounds).map { r =>
-        val best = words
-          .select(col("freq"), split(col("sym"), " ").as("ss"))
-          .filter(size(col("ss")) >= 2) // sequence() reverses below 2
-          .select(col("freq"), explode(transform(
-            sequence(lit(1), size(col("ss")) - 1),
-            i => struct(element_at(col("ss"), i).as("w1"),
-              element_at(col("ss"), i + 1).as("w2")))).as("p"))
-          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-          .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
-          .localCheckpoint(true)
-        words = words.crossJoin(broadcast(best.select(
-            concat(lit(" "), col("w1"), lit("  "), col("w2"), lit(" ")).as("pat"),
-            concat(lit(" "), col("w1"), col("w2"), lit(" ")).as("rep"))))
-          .select(trim(replace(replace(replace(
-            concat(lit(" "), col("sym"), lit(" ")), lit(" "), lit("  ")),
-            col("pat"), col("rep")), lit("  "), lit(" "))).as("sym"), col("freq"))
-          .localCheckpoint(true)
-        best
-      }
+      val (merges, _) = bpeTrain(s, d)
       merges.reduce(_ union _)
         .select(col("round"), col("w1"), col("w2"),
           concat(col("w1"), col("w2")).as("merged"), col("cnt"))
+    }),
+
+    // BPE ENCODE — the APPLY side of tx13's training: every corpus token
+    // tokenizes through the learned merge table (the trained type table
+    // IS the encoder — applying R ordered merges to a word reproduces
+    // its final symbol string, so encoding is a dictionary join, never a
+    // per-token merge loop), reported as the per-source compression
+    // ledger: symbols before (chars + end marker) vs after. The
+    // train→apply closure a tokenizer pipeline ships: tx13 learns the
+    // rules, tx15 proves they tokenize. One corpus explode + one
+    // vocab-sized unhinted dictionary join (tx10's discipline) + the
+    // K-source rollup; the type table is 100% hit by construction
+    // (trained on the same corpus — a serving encoder adds an OOV
+    // char-fallback branch, which the fixture cannot exercise).
+    "tx15_bpe_encode" -> ((s, d) => {
+      val (_, types) = bpeTrain(s, d)
+      val enc = types.select(col("w"),
+        size(split(col("sym"), " ")).cast("long").as("n_sym"))
+      docs(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .join(enc, "w")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("w")) + 1).cast("long").as("n_sym_char"),
+          sum(col("n_sym")).as("n_sym_bpe"))
+        .withColumn("compression",
+          round(col("n_sym_bpe").cast("double") / col("n_sym_char"), 6))
     }),
 
     // KNESER-NEY LM STATISTICS — the count tables an interpolated-KN
@@ -468,15 +467,57 @@ object TextAnalysis {
     })
   )
 
+  /** tx13/tx15 shared training loop: R rounds of weighted-pair argmax +
+    * greedy merge over the (word type, freq) table. Returns the per-round
+    * argmax rows and the final type table (w, sym, freq) — the encoder.
+    * Round state pins via eager localCheckpoint (the dd09 iterative-loop
+    * discipline): R rounds of unpinned growth would re-embed every prior
+    * round's subplan at each of its two references. */
+  private def bpeTrain(s: SparkSession, d: String,
+      rounds: Int = 6): (Seq[DataFrame], DataFrame) = {
+    var words = docs(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"),
+        concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" _"))
+          .as("sym"), col("freq"))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { r =>
+      val best = words
+        .select(col("freq"), split(col("sym"), " ").as("ss"))
+        .filter(size(col("ss")) >= 2) // sequence() reverses below 2
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("ss")) - 1),
+          i => struct(element_at(col("ss"), i).as("w1"),
+            element_at(col("ss"), i + 1).as("w2")))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
+        .localCheckpoint(true)
+      words = words.crossJoin(broadcast(best.select(
+          concat(lit(" "), col("w1"), lit("  "), col("w2"), lit(" ")).as("pat"),
+          concat(lit(" "), col("w1"), col("w2"), lit(" ")).as("rep"))))
+        .select(col("w"), trim(replace(replace(replace(
+          concat(lit(" "), col("sym"), lit(" ")), lit(" "), lit("  ")),
+          col("pat"), col("rep")), lit("  "), lit(" "))).as("sym"), col("freq"))
+        .localCheckpoint(true)
+      best
+    }
+    (merges, words)
+  }
+
   /** tx13's oracle: the whole R-round BPE training loop re-run by DuckDB
     * from the fixture alone, one CTE triple (pair counts → argmax →
     * merged type table) per round — the k-means unrolled-chain pattern.
     * No trained value crosses over; the merge algebra is the identical
     * doubled-separator replace chain. */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val w0 = """
       WITH w0 AS (
-        SELECT concat(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' _') AS sym,
+        SELECT w,
+               concat(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' _') AS sym,
                CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
         WHERE w != '' GROUP BY w)"""
@@ -490,19 +531,40 @@ object TextAnalysis {
       b$r AS (SELECT $r AS round, w1, w2, cnt FROM p$r
               ORDER BY cnt DESC, w1, w2 LIMIT 1),
       w$r AS (
-        SELECT trim(replace(replace(replace(' ' || sym || ' ', ' ', '  '),
+        SELECT w, trim(replace(replace(replace(' ' || sym || ' ', ' ', '  '),
                  ' ' || b.w1 || '  ' || b.w2 || ' ',
                  ' ' || b.w1 || b.w2 || ' '), '  ', ' ')) AS sym, freq
         FROM w${r - 1}, b$r b)"""
     }.mkString(",", ",", "")
+    w0 + steps
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val tail = (1 to rounds)
       .map(r => s"SELECT round, w1, w2, w1 || w2 AS merged, cnt FROM b$r")
       .mkString("\n      UNION ALL ")
-    w0 + steps + "\n      " + tail
+    bpeCtes(rounds) + "\n      " + tail
   }
+
+  /** tx15's oracle: re-train (the same CTE chain), then tokenize the
+    * corpus through the final type table and roll up per source. */
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    bpeCtes(rounds) + s""",
+      enc AS (SELECT w, CAST(LEN(string_split(sym, ' ')) AS BIGINT) AS n_sym
+              FROM w$rounds),
+      tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+      SELECT source, COUNT(*) AS n_tokens,
+             CAST(SUM(LEN(w) + 1) AS BIGINT) AS n_sym_char,
+             CAST(SUM(n_sym) AS BIGINT) AS n_sym_bpe,
+             ROUND(CAST(SUM(n_sym) AS BIGINT)
+                   / CAST(SUM(LEN(w) + 1) AS BIGINT), 6) AS compression
+      FROM tok JOIN enc USING (w)
+      WHERE w != '' GROUP BY source"""
 
   val oracles: Map[String, String] = Map(
     "tx13_bpe_merges" -> bpeOracleSql(6),
+    "tx15_bpe_encode" -> bpeEncodeOracleSql(6),
 
     // same integer cross-multiplied rules, same CASE order; the token
     // stats come from an explode+agg pass (an independent second

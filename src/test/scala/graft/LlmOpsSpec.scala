@@ -534,24 +534,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(_._3 > 0) && got.exists(t => t._2 > t._3))
   }
 
-  test("tx13 BPE merges equal a single-threaded pair-merge mirror") {
-    // the classic list-walk BPE (Sennrich et al.), no string algebra —
-    // an independent second implementation of the merge semantics
+  /** The classic list-walk BPE (Sennrich et al.), no string algebra — an
+    * independent second implementation of the merge semantics. Returns
+    * the per-round merges and the final per-word symbolization. */
+  private def bpeMirror(rounds: Int)
+      : (Set[(Int, String, String, String, Long)], Map[String, Vector[String]]) = {
     val freq = new scala.collection.mutable.HashMap[String, Long]()
     docTokens().values.foreach(_.foreach(w =>
       if (w.nonEmpty) freq.updateWith(w)(c => Some(c.getOrElse(0L) + 1))))
-    var words: Map[Vector[String], Long] =
-      freq.map { case (w, f) => (w.map(_.toString).toVector :+ "_") -> f }.toMap
-    val expect = (1 to 6).map { r =>
+    var words: Map[String, (Vector[String], Long)] =
+      freq.map { case (w, f) => w -> ((w.map(_.toString).toVector :+ "_", f)) }.toMap
+    val merges = (1 to rounds).map { r =>
       val pc = new scala.collection.mutable.HashMap[(String, String), Long]()
-      words.foreach { case (sym, f) =>
+      words.values.foreach { case (sym, f) =>
         sym.sliding(2).foreach { p =>
           if (p.length == 2)
             pc.updateWith((p(0), p(1)))(c => Some(c.getOrElse(0L) + f))
         }
       }
       val ((x, y), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
-      words = words.map { case (sym, f) =>
+      words = words.map { case (w, (sym, f)) =>
         val out = Vector.newBuilder[String]
         var i = 0
         while (i < sym.length) {
@@ -559,10 +561,15 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
             out += (x + y); i += 2
           } else { out += sym(i); i += 1 }
         }
-        out.result() -> f
+        w -> ((out.result(), f))
       }
       (r, x, y, x + y, c)
     }.toSet
+    (merges, words.view.mapValues(_._1).toMap)
+  }
+
+  test("tx13 BPE merges equal a single-threaded pair-merge mirror") {
+    val (expect, _) = bpeMirror(6)
     val got = SparkEntry.queries("tx13_bpe_merges")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSet
@@ -571,6 +578,31 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // monotone non-increasing is NOT required (merged symbols create new
     // pairs), but every chosen pair must have been the round's max
     assert(got.forall(_._5 > 0))
+  }
+
+  test("tx15 BPE encode equals the mirror's per-source symbol rollup") {
+    val (_, enc) = bpeMirror(6)
+    val bySrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty))
+    val expect = bySrc.map { case (src, ws) =>
+      (src, ws.length.toLong, ws.map(_.length.toLong + 1).sum,
+        ws.map(w => enc(w).length.toLong).sum)
+    }.toSet
+    val got = SparkEntry.queries("tx15_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect, s"missing ${expect.diff(got)}, extra ${got.diff(expect)}")
+    // six merges must actually compress: every source strictly below the
+    // character baseline (compression < 1), and never below 1 symbol/word
+    val full = SparkEntry.queries("tx15_bpe_encode")(spark, sf).collect()
+    full.foreach { r =>
+      val (nTok, nChar, nBpe, c) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nBpe < nChar && nBpe >= nTok, r.toString)
+      assert(c > 0 && c < 1, s"compression $c")
+    }
   }
 
   test("tx12 KN statistics equal a single-threaded count mirror") {

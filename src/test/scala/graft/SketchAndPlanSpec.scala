@@ -590,6 +590,44 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tx14: exactly one exchange (the source rollup); rules evaluate map-side") {
+    val df = SparkEntry.queries("tx14_rule_cascade")(spark, sf)
+    df.collect()
+    val flat = flattenPlanThroughReuse(df.queryExecution.executedPlan)
+    val shuffles = flat.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.length == 1,
+      s"rule cascade must pay only the K-source rollup, got ${shuffles.length}")
+    // the run-length kernel keeps per-doc stats out of any explode+agg:
+    // the single exchange carries partial rollup counts, never text/tokens
+    val names = shuffles.head.output.map(_.name).toSet
+    assert(names.intersect(Set("text", "ws", "toks")).isEmpty, names.toString)
+    assert(!flat.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.GenerateExec]),
+      "per-doc rule stats must not explode the token array")
+  }
+
+  test("ss11/dd17: hybrid fusion and soft dedup never shuffle document payload") {
+    for (name <- Seq("ss11_hybrid_rrf", "dd17_soft_dedup_sample")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val flat = flattenPlanThroughReuse(df.queryExecution.executedPlan)
+      flat.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach { e =>
+        val names = e.output.map(_.name).toSet
+        // text dies at the scans (postings/terms/md5 map-side); vectors
+        // never shuffle (the query batch broadcasts through both lanes)
+        assert(names.intersect(Set("text", "ws", "toks", "v", "q_v", "c_v",
+          "embedding")).isEmpty, s"$name exchange payload: $names")
+      }
+      // the query/dictionary sides broadcast somewhere in the plan
+      assert(flat.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+        s"$name should broadcast its small sides")
+    }
+  }
+
   test("pp06: the sampling decision is a pushed map-side filter, no corpus window") {
     val df = SparkEntry.queries("pp06_mixture_sample")(spark, sf)
     df.collect()
