@@ -173,6 +173,73 @@ object Clustering {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DBSCAN density clustering (Ester et al. KDD'96) over the embedding
+    // space — the density complement to cl01's centroid partitioning
+    // (k-means splits by proximity to k seeds; DBSCAN finds arbitrarily
+    // shaped dense regions and names the sparse rest NOISE, which is
+    // what an outlier-removal pass in an embedding pipeline consumes).
+    // eps is a cosine floor (0.35), minPts = 3 with the point itself
+    // counted (the paper's convention). Deterministic decomposition:
+    //   core    = |N_eps| >= minPts;
+    //   cluster = connected components over CORE-CORE eps-edges, labeled
+    //             by min core id (the O(log n)-round star contraction —
+    //             dd15's certificate-verified path);
+    //   border  = non-core with a core neighbor, assigned the MIN
+    //             cluster id among its core neighbors (the paper leaves
+    //             border assignment order-dependent; min is the
+    //             deterministic closure an oracle can mirror);
+    //   noise   = everything else.
+    // The eps-graph here is the bounded exact self-join (the dd06
+    // ground-truth tier — embeddings is the corpus' query-sized side);
+    // at 100 TB the pair search swaps to dd13's multi-probe LSH blocking
+    // unchanged, because everything downstream consumes only the edge
+    // list. Pairs checkpoint once (scanned by degree, core-edge, and
+    // border passes); components run in O(log n) rounds; the border
+    // assignment is one keyed agg. No per-point iteration anywhere.
+    "cl03_dbscan" -> ((s, d) => {
+      val minPts = 3
+      // bounded ground-truth tier (the dd03/dd06 idiom): the exact
+      // all-pairs eps-graph is quadratic by definition, so the shipped
+      // entry caps the input; the LSH-blocked pair search (dd13) is the
+      // unbounded path and plugs in below unchanged
+      val e = emb(s, d).filter(col("vec_id") < 1000)
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+      val pairs = a.join(b, col("a_id") < col("b_id"))
+        .filter(VectorOps.cosineD(col("a_v"), col("b_v")) >= 0.35)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+      val deg = pairs
+        .select(explode(array(col("a_id"), col("b_id"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      val core = deg.filter(col("deg") + 1 >= minPts).select(col("x").as("id"))
+      val coreEdges = pairs
+        .join(core.select(col("id").as("a_id")), "a_id")
+        .join(core.select(col("id").as("b_id")), "b_id")
+        .select(col("a_id").as("ra"), col("b_id").as("rb"))
+      val comp = Dedup.starComponents(core.select(col("id").as("rep_id")), coreEdges)
+        .select(col("rep_id").as("id"), col("comp_id").as("cluster_id"))
+      val nbrs = pairs.select(explode(array(
+          struct(col("a_id").as("x"), col("b_id").as("y")),
+          struct(col("b_id").as("x"), col("a_id").as("y")))).as("n"))
+        .select(col("n.x").as("x"), col("n.y").as("y"))
+      val border = nbrs
+        .join(core.select(col("id").as("x"), lit(1).as("is_core")), Seq("x"), "left_anti")
+        .join(comp.select(col("id").as("y"), col("cluster_id")), "y")
+        .groupBy(col("x")).agg(min(col("cluster_id")).as("cluster_id"))
+        .select(col("x").as("id"), col("cluster_id"))
+      e.select(col("vec_id"))
+        .join(comp.select(col("id").as("vec_id"), col("cluster_id").as("core_cl")),
+          Seq("vec_id"), "left")
+        .join(border.select(col("id").as("vec_id"), col("cluster_id").as("border_cl")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("core_cl").isNotNull, "core")
+            .when(col("border_cl").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("core_cl"), col("border_cl")).as("cluster_id"))
+    }),
+
     // Trained-quantizer cluster statistics: size and within-cluster
     // cohesion (mean cosine to the assigned centroid) per cell. The
     // k-means is deterministic (see trainKMeans) AND the fixed iteration
@@ -226,6 +293,41 @@ object Clustering {
     * iterations as a CTE chain over the fixture parquet alone (no trained
     * value crosses from Spark into the oracle). */
   val oracles: Map[String, String] = Map(
+    // the full DBSCAN decomposition re-derived: exact eps-graph, degree
+    // core test, recursive-CTE reachability over core-core edges
+    // (min-id labels — identical to star contraction's fixpoint), and
+    // the min-cluster border closure
+    "cl03_dbscan" -> """
+      WITH RECURSIVE
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id < 1000),
+      p AS (SELECT a.vec_id AS a, b.vec_id AS b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+      deg AS (SELECT x, COUNT(*) AS deg
+              FROM (SELECT a AS x FROM p UNION ALL SELECT b AS x FROM p)
+              GROUP BY x),
+      core AS (SELECT x AS id FROM deg WHERE deg + 1 >= 3),
+      ce AS (SELECT p.a AS u, p.b AS v
+             FROM p JOIN core ca ON p.a = ca.id JOIN core cb ON p.b = cb.id),
+      ed AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+      r AS (SELECT id AS node, id AS reach FROM core
+            UNION
+            SELECT ed.v AS node, r.reach FROM r JOIN ed ON ed.u = r.node),
+      comp AS (SELECT node AS id, MIN(reach) AS cluster_id FROM r GROUP BY node),
+      nbr AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b AS x, a AS y FROM p),
+      border AS (SELECT x AS id, MIN(comp.cluster_id) AS cluster_id
+                 FROM nbr JOIN comp ON comp.id = nbr.y
+                 WHERE x NOT IN (SELECT id FROM core)
+                 GROUP BY x)
+      SELECT e.vec_id,
+             CASE WHEN cc.id IS NOT NULL THEN 'core'
+                  WHEN bo.id IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             COALESCE(cc.cluster_id, bo.cluster_id) AS cluster_id
+      FROM e LEFT JOIN comp cc ON e.vec_id = cc.id
+             LEFT JOIN border bo ON e.vec_id = bo.id""",
+
     "cl01_kmeans_cells" -> s"""
       WITH ${OracleMirror.kmeansCtes(K, Iters)}
       SELECT a.cell, COUNT(*) AS n_vecs,

@@ -151,7 +151,16 @@ object ScaleProbe {
       // lanes (postings + brute-force vector); the fusion tail stays
       // O(queries·40) by construction
       "tx12_kn_lm_stats", "tx13_bpe_merges", "dd17_soft_dedup_sample",
-      "ss11_hybrid_rrf")
+      "ss11_hybrid_rrf",
+      // r12 (session 2b): the quality gate is pure map + K-row rollup
+      // (should be ~flat); BPE encode adds the corpus-tokens dictionary
+      // join on top of tx13's flat training (linear in tokens, type
+      // table unchanged on the exact-copy tier). cl03 DBSCAN is NOT
+      // probed: its fixture tier is the deliberate exact all-pairs
+      // eps-graph (the dd06 precedent) — the decade path swaps in dd13's
+      // LSH blocking, which IS probed via dd13's own recall/candidate
+      // specs
+      "tx14_rule_cascade", "tx15_bpe_encode")
     buildPerturbed(spark)
     // the text-operator lane runs on BOTH ×10 regimes: exact-copy (their
     // saturation worst case, inside `queries` below) and perturbed
@@ -175,7 +184,10 @@ object ScaleProbe {
       // vocabulary-GROWTH regime for the type-table pair — tx12's
       // marginals and tx13's per-round pair table grow with the minted
       // vocabulary (bounded by type count, never corpus tokens)
-      "tx12_kn_lm_stats", "tx13_bpe_merges")
+      "tx12_kn_lm_stats", "tx13_bpe_merges",
+      // the perturbed twins change quality signals (tx14's gate sees
+      // spread inputs) and mint new word types (tx15's dictionary grows)
+      "tx14_rule_cascade", "tx15_bpe_encode")
     // tier names are the artifact's stable keys; the dirs ride alongside
     // so a reader can reproduce any row
     val tierOf = Map(Src -> "sf0.1", Dst -> "sf1_exact", DstP -> "sf1_perturbed")

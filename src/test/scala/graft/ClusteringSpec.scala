@@ -135,4 +135,58 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exactCands.count() == allPairs,
       "sub-cap cell should take the exact all-pairs-within-cell path")
   }
+
+  test("cl03 DBSCAN equals a single-threaded BFS mirror (roles and min-id labels)") {
+    val eps = 0.35
+    val minPts = 3
+    val vecs = emb().collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val nbrs = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    for (i <- ids.indices; j <- (i + 1) until ids.length
+         if cos(vecs(ids(i)), vecs(ids(j))) >= eps) {
+      nbrs(ids(i)) = nbrs(ids(i)) + ids(j)
+      nbrs(ids(j)) = nbrs(ids(j)) + ids(i)
+    }
+    val cores = ids.filter(id => nbrs(id).size + 1 >= minPts).toSet
+    // BFS components over core-core edges — an independent algorithm vs
+    // the shipped star contraction / the oracle's recursive CTE
+    val label = scala.collection.mutable.Map[Long, Long]()
+    cores.toSeq.sorted.foreach { seed =>
+      if (!label.contains(seed)) {
+        val compMembers = scala.collection.mutable.Set(seed)
+        val queue = scala.collection.mutable.Queue(seed)
+        while (queue.nonEmpty) {
+          val u = queue.dequeue()
+          nbrs(u).filter(cores).foreach { v =>
+            if (compMembers.add(v)) queue.enqueue(v)
+          }
+        }
+        val m = compMembers.min
+        compMembers.foreach(x => label(x) = m)
+      }
+    }
+    val expect = ids.map { id =>
+      if (cores(id)) (id, "core", Some(label(id)))
+      else {
+        val coreNb = nbrs(id).filter(cores)
+        if (coreNb.nonEmpty) (id, "border", Some(coreNb.map(label).min))
+        else (id, "noise", None)
+      }
+    }.toSet
+    val got = SparkEntry.queries("cl03_dbscan")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == expect,
+      s"missing ${expect.diff(got).take(3)}, extra ${got.diff(expect).take(3)}")
+    // the fixture exercises all three roles, and noise carries no label
+    assert(Set("core", "border", "noise").subsetOf(got.map(_._2)))
+    assert(got.filter(_._2 == "noise").forall(_._3.isEmpty))
+  }
 }
