@@ -585,6 +585,46 @@ object Pipelines {
     // O(B) rows). The threshold scan is the pp09/pp12 range-partitioned
     // prefix scan over the score histogram — no global one-task window —
     // and θ, T, R, n are scalar broadcasts.
+    // DATASET CARD — the terminal per-source report a corpus release
+    // ships (the "datasheet/dataset card" stats block): volume (docs,
+    // tokens, chars, length bounds), exact-duplication rate, language
+    // spread, and lexical-diversity signal, one row per source. Composes
+    // the signals the pipeline already computes — the op exists so the
+    // ledger is ONE artifact with one gate, not a reader's join of five.
+    //
+    // Numerics: counts and sums are exact integers; the two ratios are
+    // single final divisions (dup_ratio additionally one subtraction —
+    // fixed per-row IEEE ops, no accumulation). Shape: one scan computes
+    // every per-doc field map-side (md5, token counts — no explode: the
+    // distinct-token count reads size(array_distinct)); the rollup is
+    // one hash agg keyed by source whose distinct-fingerprint count
+    // rides the same Expand pass as the distinct-lang count; linear at
+    // any scale, exchanges carry (source, md5-hash, lang, four ints).
+    "pp15_dataset_card" -> ((s, d) => {
+      val t = Tables.load(s, d, "documents")
+        .select(col("source"), col("lang"),
+          md5(col("text").cast("binary")).as("fp"),
+          size(tokens(col("text"))).cast("long").as("n_tok"),
+          size(array_distinct(tokens(col("text")))).cast("long").as("n_dtok"),
+          length(col("text")).cast("long").as("n_chars"))
+      t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_tok")).as("min_tokens"),
+          max(col("n_tok")).as("max_tokens"),
+          countDistinct(col("fp")).as("n_unique"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_dtok")).as("sum_dtok"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("sum_chars"), col("min_tokens"), col("max_tokens"),
+          col("n_unique"), col("n_langs"),
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+            .as("dup_ratio"),
+          round(col("sum_dtok").cast("double") / col("n_tokens"), 6)
+            .as("diversity"))
+    }),
+
     "pp14_dsir_select" -> ((s, d) => {
       val B = 4096L
       val target = Seq("src0", "src1", "src2", "src3")
@@ -737,6 +777,28 @@ object Pipelines {
       FROM m"""
 
   val oracles: Map[String, String] = Map(
+    // same per-doc fields, same single-division ratios
+    "pp15_dataset_card" -> """
+      WITH t AS (
+        SELECT source, lang, md5(text) AS fp,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT)
+                 AS n_dtok,
+               CAST(LEN(text) AS BIGINT) AS n_chars
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
+             COUNT(DISTINCT fp) AS n_unique,
+             COUNT(DISTINCT lang) AS n_langs,
+             ROUND(CAST(1 AS DOUBLE)
+                   - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+               AS dup_ratio,
+             ROUND(CAST(SUM(n_dtok) AS BIGINT)
+                   / CAST(SUM(n_tok) AS BIGINT), 6) AS diversity
+      FROM t GROUP BY source""",
+
     // the NAIVE single-window prefix sum — proving the Spark side's
     // hierarchical two-level scan computes the same placement exactly
     "pp04_pack_sequences" -> """

@@ -492,6 +492,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the θ tie-run must be needed to meet the quota")
   }
 
+  test("pp15 dataset card equals a single-threaded per-source rollup") {
+    val docsRaw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expect = docsRaw.groupBy(_._1).map { case (src, rs) =>
+      val toks = rs.map(_._3.split(" ", -1))
+      val nTok = toks.map(_.length.toLong)
+      val unique = rs.map(r => md5Prefix16(r._3)).distinct.length.toLong
+      val sumTok = nTok.sum
+      val sumD = toks.map(_.distinct.length.toLong).sum
+      (src, rs.length.toLong, sumTok, rs.map(_._3.length.toLong).sum,
+        nTok.min, nTok.max, unique, rs.map(_._2).distinct.length.toLong,
+        BigDecimal(1.0 - unique.toDouble / rs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(sumD.toDouble / sumTok)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = SparkEntry.queries("pp15_dataset_card")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8), r.getDouble(9))).toSet
+    assert(got == expect, s"missing ${expect.diff(got)}, extra ${got.diff(expect)}")
+    // the card's invariants: dup_ratio in [0,1), diversity in (0,1],
+    // uniques never exceed docs, bounds bracket the mean
+    got.foreach { case (_, nd, nt, _, mn, mx, nu, _, dr, dv) =>
+      assert(nu <= nd && mn <= mx && mn * nd <= nt && nt <= mx * nd)
+      assert(dr >= 0 && dr < 1 && dv > 0 && dv <= 1)
+    }
+  }
+
   test("tx14 rule cascade equals a single-threaded first-failing-rule mirror") {
     val stop = Set("the", "a", "of", "and", "to", "in", "is")
     val docsRaw = spark.read.parquet(s"$sf/documents.parquet")
