@@ -67,7 +67,8 @@ private[graft] object OracleMirror {
     * @param corpusPred SQL predicate choosing the indexed corpus side
     */
   def lshTopKSql(queryPred: String, corpusPred: String,
-      tables: Int, bits: Int, dim: Int, seed: Long = 42L): String = s"""
+      tables: Int, bits: Int, dim: Int, seed: Long = 42L,
+      k: Int = 5): String = s"""
       WITH planes(pid, pv) AS (VALUES ${planesValues(tables, bits, dim, seed)}),
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       sig AS MATERIALIZED (
@@ -93,7 +94,7 @@ private[graft] object OracleMirror {
                                   ORDER BY cos DESC, c_id) AS rank
         FROM scored)
       SELECT q_id, c_id, rank, ROUND(cos, 6) AS cos_r
-      FROM ranked WHERE rank <= 5"""
+      FROM ranked WHERE rank <= $k"""
 
   /** CTE chain re-running `Clustering.trainKMeans(e, k, iters)` and
     * assigning every vector its trained cell: emits CTEs `e`, `cb0` …

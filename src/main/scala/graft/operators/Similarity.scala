@@ -107,7 +107,7 @@ object Similarity {
     * INT and the probe side must match exactly — a cast on the partition
     * column would defeat partition pruning. */
   private[graft] def serveLshTopK(s: SparkSession, d: String,
-      queryVecs: DataFrame): DataFrame = {
+      queryVecs: DataFrame, k: Int = 5): DataFrame = {
     val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val probes = queryVecs
       .select(col("vec_id").as("q_id"),
@@ -134,7 +134,7 @@ object Similarity {
         cosineD(col("q_v"), col("c_v")).as("cos"))
       .select(col("q_id"), col("c_id"), col("cos"),
         row_number().over(w).as("rank"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
   }
 
@@ -144,6 +144,27 @@ object Similarity {
     * tables). The query batch BROADCASTs through both lanes. */
   private[graft] def hybridRrf(s: SparkSession, d: String,
       qIds: DataFrame): DataFrame = {
+    // vector lane: exact cosine top-20 (the oracle-able brute tier;
+    // ss14 swaps in the served index through the same interface)
+    val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qv = e.join(broadcast(qIds), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("q_v"))
+    val cv = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val vec = qv.crossJoin(cv)
+      .select(col("q_id"), col("c_id"), cosineD(col("q_v"), col("c_v")).as("cos"))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= 20)
+      .select(col("q_id"), col("c_id"), col("vec_rank"))
+    rrfFuse(lexLane(s, d, qIds), vec)
+  }
+
+  /** The hybrid serve's lexical lane: query terms (distinct) × corpus
+    * postings, rare-term gated, exact-integer Σtf scoring, per-query
+    * top-20 ranks. */
+  private def lexLane(s: SparkSession, d: String, qIds: DataFrame): DataFrame = {
     import graft.functions.TextOps
     val docsT = Tables.load(s, d, "documents")
     // lexical lane: query terms (distinct) x corpus postings, rare-term
@@ -167,21 +188,13 @@ object Similarity {
       .withColumn("lex_rank", row_number().over(wl))
       .filter(col("lex_rank") <= 20)
       .select(col("q_id"), col("c_id"), col("lex_rank"))
-    // vector lane: exact cosine top-20 (ss08's served index is the
-    // drop-in scale path — same (q_id, c_id, rank) interface)
-    val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val qv = e.join(broadcast(qIds), col("vec_id") === col("q_id"))
-      .select(col("q_id"), col("v").as("q_v"))
-    val cv = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
-    val wv = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
-    val vec = qv.crossJoin(cv)
-      .select(col("q_id"), col("c_id"), cosineD(col("q_v"), col("c_v")).as("cos"))
-      .withColumn("vec_rank", row_number().over(wv))
-      .filter(col("vec_rank") <= 20)
-      .select(col("q_id"), col("c_id"), col("vec_rank"))
-    // RRF fusion: a candidate missing from one lane contributes 0 there
+    lex
+  }
+
+  /** RRF fusion of two (q_id, c_id, *_rank) lanes: a candidate missing
+    * from one lane contributes 0 there; two exact divisions + one add
+    * per candidate — engine-exact. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
     val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("c_id"))
     lex.join(vec, Seq("q_id", "c_id"), "full_outer")
       .withColumn("rrf",
@@ -507,6 +520,22 @@ object Similarity {
         hybridRrf(s, d, b.select(col("vec_id").as("q_id"))))
     }),
 
+    // The PRODUCTION hybrid serve: the vector lane reads ss08's
+    // materialized bucket-partitioned LSH index (partition-pruned probe
+    // reads, top-20 among verified candidates) instead of the brute
+    // scan — proving "the served index swaps in unchanged" as a gated
+    // query, not prose. Recall < 1 in the vector lane is the ANN trade
+    // (ss12 measures it); the fusion arithmetic, tiebreaks, and the
+    // lexical lane are byte-identical to ss11, and the oracle composes
+    // the lexical CTEs with the FULL LSH mirror, so the fused answer is
+    // still hash-exact.
+    "ss14_hybrid_index_serve" -> ((s, d) => {
+      val q = emb(s, d).filter(col("vec_id") < 10)
+      val vec = serveLshTopK(s, d, q.select(col("vec_id"), col("embedding")), k = 20)
+        .select(col("q_id"), col("c_id"), col("rank").as("vec_rank"))
+      rrfFuse(lexLane(s, d, q.select(col("vec_id").as("q_id"))), vec)
+    }),
+
     // ANN EVALUATION HARNESS — recall@k of the production index against
     // exact ground truth, the report every pipeline runs after (re)building
     // an ANN index and before switching serving to it: per query, how many
@@ -634,9 +663,9 @@ object Similarity {
       SELECT q_id, c_id, rank, ROUND(cos, 6) AS cos_r
       FROM ranked WHERE rank <= 5"""
 
-  /** ss11's oracle — also ss13's: the drained per-batch union equals the
-    * one-shot batch answer because the fusion is per-query independent. */
-  private val ss11Sql = """
+  /** The hybrid serve's lexical-lane CTEs (lex = per-query top-20 ranks)
+    * — shared by ss11/ss13's oracle and ss14's. */
+  private val hybridLexCtes = """
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       qt AS (SELECT doc_id AS q_id, UNNEST(list_distinct(ws)) AS term
              FROM d WHERE doc_id < 10),
@@ -656,18 +685,11 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY q_id
                  ORDER BY lex_score DESC, n_match DESC, c_id) AS lex_rank
         FROM ls),
-      lex AS (SELECT q_id, c_id, lex_rank FROM lexr WHERE lex_rank <= 20),
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      vs AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-               list_cosine_similarity(q.v, c.v) AS cos
-        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND c.vec_id >= 10),
-      vecr AS (
-        SELECT q_id, c_id,
-               ROW_NUMBER() OVER (PARTITION BY q_id
-                 ORDER BY cos DESC, c_id) AS vec_rank
-        FROM vs),
-      vec AS (SELECT q_id, c_id, vec_rank FROM vecr WHERE vec_rank <= 20),
+      lex AS (SELECT q_id, c_id, lex_rank FROM lexr WHERE lex_rank <= 20)"""
+
+  /** The RRF fusion tail over CTEs `lex` and `vec` — same two-division
+    * arithmetic as [[rrfFuse]]. */
+  private val hybridFuseTail = """,
       fused AS (
         SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
                COALESCE(lex.c_id, vec.c_id) AS c_id,
@@ -684,6 +706,22 @@ object Similarity {
         FROM fused)
       SELECT q_id, c_id, fused_rank, lex_rank, vec_rank, rrf_r
       FROM fr WHERE fused_rank <= 10"""
+
+  /** ss11's oracle — also ss13's: the drained per-batch union equals the
+    * one-shot batch answer because the fusion is per-query independent. */
+  private val ss11Sql = hybridLexCtes + """,
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      vs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               list_cosine_similarity(q.v, c.v) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+      vecr AS (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, c_id) AS vec_rank
+        FROM vs),
+      vec AS (SELECT q_id, c_id, vec_rank FROM vecr WHERE vec_rank <= 20)""" +
+    hybridFuseTail
 
   val oracles: Map[String, String] = Map(
     "ss10_mmr_diversify" -> mmrOracleSql(5),
@@ -779,6 +817,14 @@ object Similarity {
     // answer (per-query-independent fusion) — the SAME SQL gates both,
     // so lane drift breaks both entries visibly
     "ss13_stream_hybrid_serve" -> ss11Sql,
+
+    // the lexical CTEs verbatim + the FULL LSH mirror (k=20) as the
+    // vector lane + the same fusion tail — nothing trained crosses over
+    "ss14_hybrid_index_serve" -> (hybridLexCtes + s""",
+      vec AS (SELECT q_id, c_id, rank AS vec_rank
+              FROM (${OracleMirror.lshTopKSql(
+      "vec_id < 10", "vec_id >= 10", LshTables, LshBits, lshDim, k = 20)}))""" +
+      hybridFuseTail),
 
     "ss03_label_centroids" -> """
       WITH expl AS (

@@ -383,6 +383,56 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing ${batch.diff(drained).take(3)}, extra ${drained.diff(batch).take(3)}")
   }
 
+  test("ss14 index-served hybrid: fusion arithmetic exact, served lane cosine-ordered") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val got = rows("ss14_hybrid_index_serve").map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        r.getDouble(5)))
+    assert(got.nonEmpty)
+    // RRF arithmetic re-checked per row from the reported lane ranks
+    got.foreach { case (_, _, _, l, v, rrf) =>
+      val expect = l.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        v.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(rrf == BigDecimal(expect)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(l.nonEmpty || v.nonEmpty, "a fused row must come from a lane")
+    }
+    // fused ranks contiguous per query
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+    }
+    // the served vector lane is cosine-ordered among its candidates
+    // (rank order == exact cosine order with the c_id tiebreak) — the
+    // invariant that survives LSH's recall < 1
+    got.filter(_._5.nonEmpty).groupBy(_._1).foreach { case (q, rs) =>
+      val ordered = rs.sortBy(_._5.get)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ca, cb) = (cos(vecs(q), vecs(a._2)), cos(vecs(q), vecs(b._2)))
+          assert(ca > cb || (ca == cb && a._2 < b._2),
+            s"query $q: served ranks not cosine-ordered")
+        case _ =>
+      }
+    }
+    // and the lexical lane is shared with ss11 verbatim: lex-rank pairs
+    // agree wherever both queries report them
+    val lex11 = rows("ss11_hybrid_rrf")
+      .flatMap(r => if (r.isNullAt(3)) None
+        else Some((r.getLong(0), r.getLong(1)) -> r.getInt(3))).toMap
+    got.foreach { case (q, c, _, l, _, _) =>
+      l.foreach(lr => lex11.get((q, c)).foreach(lr11 => assert(lr == lr11)))
+    }
+  }
+
   test("ss12 recall report equals the independent intersection of its two lanes") {
     val exact = rows("ss01_cosine_topk")
       .map(r => (r.getLong(0), r.getLong(1))).toSet
