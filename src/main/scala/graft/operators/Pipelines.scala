@@ -585,6 +585,43 @@ object Pipelines {
     // O(B) rows). The threshold scan is the pp09/pp12 range-partitioned
     // prefix scan over the score histogram — no global one-task window —
     // and θ, T, R, n are scalar broadcasts.
+    // CURRICULUM ORDERING — the easy-to-hard training order (Bengio et
+    // al. ICML'09 applied to corpus prep): docs sort into quality DECILE
+    // bands (floor(quality·10), clamp 9 — integer-exact off the rounded
+    // tx02 score both engines already agree on) and the curriculum
+    // position is band-desc first (cleanest data earliest), then the
+    // deterministic md5 order WITHIN a band (pp12's shuffle — curriculum
+    // orders the macro-schedule, not the micro-order, or the model sees
+    // all of one source in a row). Complements pp12 (uniform random
+    // order) and pp13 (repetition counts): schedule, not selection.
+    //
+    // Scale shape: the within-band rank is `groupPrefixScan` (range
+    // exchange on (band, md5, doc_id) scalars — never text); the global
+    // position adds the offsets of better bands, a ≤10-row aggregate
+    // whose prefix sum is a global window BOUNDED BY DESIGN (the pp06
+    // precedent, PLANS.md) and broadcast back. No band ever serializes
+    // through one task; output is the ids-only (doc_id, band, pos)
+    // schedule the loader joins at read time.
+    "pp16_curriculum_order" -> ((s, d) => {
+      val t = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("h"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          qualityScore(tokens(col("text"))).as("quality"))
+        .withColumn("band",
+          least(lit(9L), floor(col("quality") * 10).cast("long")))
+      val ranked = groupPrefixScan(t, Seq("band"),
+        Seq(col("h"), col("doc_id")), lit(1L))
+      val wb = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = ranked.groupBy(col("band")).agg(max(col("cum")).as("n"))
+        .withColumn("off", coalesce(sum(col("n")).over(wb), lit(0L)))
+        .select(col("band"), col("off"))
+      ranked.join(broadcast(offs), "band")
+        .select(col("doc_id"), col("band"),
+          (col("off") + col("cum")).as("pos"), col("n_tokens"))
+    }),
+
     // DATASET CARD — the terminal per-source report a corpus release
     // ships (the "datasheet/dataset card" stats block): volume (docs,
     // tokens, chars, length bounds), exact-duplication rate, language
@@ -777,6 +814,22 @@ object Pipelines {
       FROM m"""
 
   val oracles: Map[String, String] = Map(
+    // the NAIVE one-window global order — proving the banded two-level
+    // decomposition position-for-position (the pp09/pp12 pattern)
+    "pp16_curriculum_order" -> s"""
+      WITH t AS (
+        SELECT doc_id, md5(text) AS h,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ${qualitySql("text")} AS quality
+        FROM documents),
+      b AS (SELECT doc_id, h, n_tokens,
+                   LEAST(9, CAST(FLOOR(quality * 10) AS BIGINT)) AS band
+            FROM t)
+      SELECT doc_id, band,
+             ROW_NUMBER() OVER (ORDER BY band DESC, h, doc_id) AS pos,
+             n_tokens
+      FROM b""",
+
     // same per-doc fields, same single-division ratios
     "pp15_dataset_card" -> """
       WITH t AS (

@@ -492,6 +492,40 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the θ tie-run must be needed to meet the quota")
   }
 
+  test("pp16 curriculum order equals a single-threaded banded sort") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val docsRaw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val banded = docsRaw.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val n = ws.length
+      val q = BigDecimal(math.min(1.0,
+        (ws.count(stop).toDouble / n * 2 + ws.distinct.length.toDouble / n) *
+          (if (n >= 20) 1.0 else 0.5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, math.min(9L, math.floor(q * 10).toLong), md5hex(text), n.toLong)
+    }
+    val expect = banded.sortBy { case (id, band, h, _) => (-band, h, id) }
+      .zipWithIndex
+      .map { case ((id, band, _, n), i) => (id, band, i + 1L, n) }.toSet
+    val got = SparkEntry.queries("pp16_curriculum_order")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect,
+      s"missing ${expect.diff(got).take(3)}, extra ${got.diff(expect).take(3)}")
+    // schedule invariants: positions are a permutation of 1..n, and the
+    // band sequence is non-increasing along the curriculum
+    val byPos = got.toSeq.sortBy(_._3)
+    assert(byPos.map(_._3) == (1L to got.size).toSeq)
+    byPos.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 >= b._2, "curriculum must be easy->hard")
+      case _ =>
+    }
+  }
+
   test("pp15 dataset card equals a single-threaded per-source rollup") {
     val docsRaw = spark.read.parquet(s"$sf/documents.parquet")
       .select("source", "lang", "text").collect()

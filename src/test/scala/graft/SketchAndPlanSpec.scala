@@ -626,6 +626,18 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         p.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
         s"$name should broadcast its small sides")
     }
+    // the skew property that keeps the per-query top-k windows safe at
+    // 100 TB: Spark's rank-limit pushdown plants a PARTIAL
+    // WindowGroupLimit below each rank exchange, so a query matching
+    // 10^9 candidates ships <= k rows per map task into the q_id
+    // partition, never the full candidate set
+    val flat11 = flattenPlanThroughReuse(SparkEntry
+      .queries("ss11_hybrid_rrf")(spark, sf).queryExecution.executedPlan)
+    val partialLimits = flat11.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.mode == org.apache.spark.sql.execution.window.Partial => w }
+    assert(partialLimits.nonEmpty,
+      "rank-limit pushdown must pre-prune lane candidates map-side")
   }
 
   test("pp06: the sampling decision is a pushed map-side filter, no corpus window") {
