@@ -466,4 +466,66 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getDouble(1).isNegInfinity && got.getDouble(3).isNaN,
       s"expected pmin=−Inf and pmax=NaN, got $got")
   }
+
+  test("hybrid-serve tie bomb: a 999-way lexical tie pre-prunes map-side") {
+    // planted corpus: one query doc ("needle"), 10,000 corpus docs of
+    // which 999 contain the rare term with IDENTICAL tf — the worst case
+    // for the per-query rank window (every tied candidate is a
+    // contender), and every vector identical so the cosine lane ties
+    // too. The rank order must stay deterministic (c_id tiebreak), and
+    // the rank-limit pushdown must keep the q_id exchange at O(tasks·k)
+    // rows instead of shipping all 999 tied candidates to one partition.
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-hybrid")
+      .toString
+    val ss = spark
+    import ss.implicits._
+    val query = Seq((0L, "needle")).toDF("doc_id", "text")
+    val corpus = ss.range(10, 10010).select(col("id").as("doc_id"),
+      when(col("id") < 1009, concat(lit("needle f"), col("id")))
+        .otherwise(concat(lit("junk f"), col("id"))).as("text"))
+    query.union(corpus).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val vec = Seq.fill(8)(1.0f)
+    (Seq(0L) ++ (10L until 1010L)).toDF("vec_id")
+      .select(col("vec_id"), typedLit(vec).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // q_id must stay non-foldable (range, not lit) — a literal id
+    // constant-folds the per-query partitioning out of the rank windows
+    // and the plan degenerates to the global-window shape no real serve
+    // has (request ids are data, never plan constants)
+    val df = operators.Similarity.hybridRrf(spark, dir,
+      ss.range(0, 1).select(col("id").as("q_id")))
+    val rows = df.collect()
+    // deterministic tie closure: both lanes rank ids 10..29 first
+    // (score ties resolve by c_id), so the fused top-10 is ids 10..19
+    // with equal lane ranks
+    assert(rows.length == 10)
+    rows.sortBy(_.getInt(2)).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) == 10L + i, s"fused rank ${i + 1}: $r")
+      assert(r.getInt(3) == i + 1 && r.getInt(4) == i + 1,
+        s"lane ranks must tie-break by c_id: $r")
+    }
+    // the skew bound, measured: the exchange feeding the lexical rank
+    // window received partial-limit-pruned rows (<= tasks*20), never the
+    // full 999-way tie set
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flatten(s.plan)
+      case o => o.children.flatMap(flatten)
+    })
+    val lexExchanges = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "lex_score") => e }
+    assert(lexExchanges.nonEmpty, "expected the lexical rank exchange")
+    lexExchanges.foreach { e =>
+      val written = e.metrics.get("shuffleRecordsWritten").map(_.value)
+      written.foreach(n =>
+        assert(n > 0 && n < 999,
+          s"rank exchange shipped $n rows — the 999-way tie was not pre-pruned"))
+    }
+  }
 }
