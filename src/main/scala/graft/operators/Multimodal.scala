@@ -157,6 +157,40 @@ object Multimodal {
     }
   }
 
+  /** Decode EVERY frame of the GIF container and return its exact pixel
+    * sum (64 decoded gray samples, integer) — mm06's per-frame luminance
+    * signal. Same reader discipline as [[decodeGifFrames]]. */
+  private[graft] def decodeGifFrameSums(docId: Long, source: String,
+      payload: Array[Byte]): Iterator[(Long, String, Int, Long)] = {
+    if (payload.isEmpty) return Iterator.empty
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      rd.setInput(iis)
+      val n = rd.getNumImages(true)
+      (0 until n).map { f =>
+        val img = rd.read(f)
+        require(img.getWidth == 8 && img.getHeight == 8,
+          s"unexpected frame geometry for doc $docId frame $f")
+        var sum = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            sum += (img.getRGB(x, y) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (docId, source, f, sum)
+      }.iterator // the map above is strict (Range.map), reader-safe
+    } finally {
+      rd.dispose()
+      iis.close()
+    }
+  }
+
   /** Synthesize a real grayscale PNG from content bytes: dimensions are a
     * deterministic function of the byte count, pixels are the content
     * bytes written row-major and repeated cyclically. ASCII fixtures give
@@ -359,6 +393,40 @@ object Multimodal {
     // mapPartitions batch (the flatMap/UDTF batch shape of a mapInPandas
     // frame extractor), then a per-source rollup. GIF grayscale is
     // lossless, so the oracle predicts the DECODED thumbnails from text.
+    // VIDEO scene-change detection — the shot-boundary pass a video
+    // corpus pipeline runs before sampling training clips: decode EVERY
+    // frame (real GIF reader, not byte peeking), reduce each to its
+    // exact integer luminance sum, and cut where consecutive frames
+    // jump by >= 300 (frame sums are Σ of 64 decoded gray samples; the
+    // threshold splits the fixture's inter-frame deltas ~48 cuts /
+    // ~2000 frames). Per-doc frame counts are <= MaxFrames, so the lag
+    // window partitions by doc_id with bounded partitions; the rollup
+    // is one source-keyed agg. All counts and deltas exact integers —
+    // GIF grayscale is lossless for the ASCII fixtures, so the oracle
+    // predicts the DECODED sums straight from text bytes.
+    "mm06_scene_change" -> ((s, d) => {
+      import s.implicits._
+      val src = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text").cast("binary").as("raw"))
+      val media = src.as[(Long, String, Array[Byte])].mapPartitions { batch =>
+        batch.map { case (id, source, content) => (id, source, encodeGif(content)) }
+      }.toDF("doc_id", "source", "payload")
+      val sums = media.as[(Long, String, Array[Byte])].mapPartitions { batch =>
+        batch.flatMap { case (id, source, payload) =>
+          decodeGifFrameSums(id, source, payload)
+        }
+      }.toDF("doc_id", "source", "frame", "fsum")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame"))
+      sums.withColumn("delta", col("fsum") - lag(col("fsum"), 1).over(w))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_videos"),
+          count(lit(1)).as("n_frames"),
+          sum(when(abs(col("delta")) >= 300, 1L).otherwise(0L)).as("n_cuts"),
+          max(abs(col("delta"))).as("max_delta"))
+        .withColumn("n_scenes", col("n_videos") + col("n_cuts"))
+    }),
+
     "mm03_frame_sample" -> ((s, d) => {
       import s.implicits._
       val src = Tables.load(s, d, "documents")
@@ -430,6 +498,31 @@ object Multimodal {
     // (bx=b%4, by=b//4) floor-averages the 2×2 pixel block at
     // (2bx, 2by) — byte offsets by*16 + bx*2 + {0,1,8,9}; frame count is
     // capped at 16 (Multimodal.MaxFrames) and every 4th frame is sampled
+    // predicts the DECODED frame sums from text (lossless grayscale):
+    // frame f's luminance = Σ ORD(text[f·64 + i]), i in 1..64; cuts at
+    // |Δ| >= 300 over the per-doc frame order
+    "mm06_scene_change" -> """
+      WITH fr AS (
+        SELECT doc_id, source, u.f AS frame,
+               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i ->
+                 ORD(SUBSTRING(text, u.f*64 + i, 1)))) AS BIGINT) AS fsum
+        FROM documents,
+             LATERAL (SELECT UNNEST(RANGE(0, LEAST(LENGTH(text)//64, 16))) AS f) u),
+      dl AS (
+        SELECT doc_id, source, fsum,
+               fsum - LAG(fsum) OVER (PARTITION BY doc_id ORDER BY frame)
+                 AS delta
+        FROM fr)
+      SELECT source, COUNT(DISTINCT doc_id) AS n_videos,
+             COUNT(*) AS n_frames,
+             CAST(SUM(CASE WHEN ABS(delta) >= 300 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cuts,
+             MAX(ABS(delta)) AS max_delta,
+             COUNT(DISTINCT doc_id)
+               + CAST(SUM(CASE WHEN ABS(delta) >= 300 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_scenes
+      FROM dl GROUP BY source""",
+
     "mm03_frame_sample" -> """
       WITH fr AS (
         SELECT doc_id, source,

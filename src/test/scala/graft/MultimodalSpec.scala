@@ -69,4 +69,19 @@ class MultimodalSpec extends AnyFunSuite {
     val other = ahashHex(9L, encodePatternPng(bits ^ (1L << 13), 0, 2))
     assert(other != hashes.head)
   }
+
+  test("gif frame sums decode losslessly and a planted scene cut is visible") {
+    import graft.operators.Multimodal.{decodeGifFrameSums, encodeGif}
+    // three 64-byte "shots": dim, dim, bright — one planted cut
+    val content = (Array.fill(128)(40.toByte) ++ Array.fill(64)(120.toByte))
+    val sums = decodeGifFrameSums(3L, "s", encodeGif(content)).toSeq
+    assert(sums.map(_._3) == Seq(0, 1, 2), "every frame decodes, in order")
+    // decoded luminance equals the content bytes exactly (lossless gray)
+    assert(sums.map(_._4) == Seq(40L * 64, 40L * 64, 120L * 64))
+    val deltas = sums.map(_._4).sliding(2).map { case Seq(a, b) => (b - a).abs }.toSeq
+    assert(deltas == Seq(0L, 64L * 80))
+    assert(deltas.count(_ >= 300) == 1, "exactly the planted cut fires")
+    // no video, no frames
+    assert(decodeGifFrameSums(4L, "s", encodeGif(Array.fill(63)(1.toByte))).isEmpty)
+  }
 }
