@@ -496,6 +496,14 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
         .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
         .localCheckpoint(true)
+      // exhaustion guard (ADVICE r12): an empty argmax would make the
+      // crossJoin below silently EMPTY the whole type table — and the
+      // oracle degenerates identically, so the hash gate would stay
+      // green on zeroed output. Fail loudly instead: `rounds` must not
+      // exceed the corpus' mergeable-pair supply.
+      require(best.count() == 1,
+        s"bpeTrain: vocabulary exhausted at round $r of $rounds " +
+          "(no adjacent symbol pair left to merge)")
       words = words.crossJoin(broadcast(best.select(
           concat(lit(" "), col("w1"), lit("  "), col("w2"), lit(" ")).as("pat"),
           concat(lit(" "), col("w1"), col("w2"), lit(" ")).as("rep"))))

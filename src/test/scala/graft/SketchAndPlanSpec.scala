@@ -287,6 +287,52 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ss14: lexical lane serves from the pruned postings index (no corpus-text scan)") {
+    // VERDICT r12 item 1: the serve plan must contain NO scan of the
+    // corpus text and read <= |query-term buckets| partitions of the
+    // materialized postings index — per-request work proportional to the
+    // request, never the corpus.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qDocs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .localCheckpoint(true)
+    val served = graft.operators.Similarity.lexLaneServed(spark, sf, qDocs)
+    val scans = flattenPlan(served.queryExecution.executedPlan).collect {
+      case sc: FileSourceScanExec => sc }
+    assert(scans.forall(!_.relation.location.inputFiles
+        .exists(_.contains("documents"))),
+      "serve plan re-scans the corpus text — the r12 scale-killer")
+    val indexScans = scans.filter(
+      _.relation.partitionSchema.fieldNames.contains("tb"))
+    assert(indexScans.nonEmpty, "expected a scan of the postings index")
+    val nBuckets = qDocs
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .select(pmod(hash(col("term")),
+        lit(graft.operators.Similarity.LexBuckets)).as("tb"))
+      .distinct().count()
+    indexScans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        s"term-bucket filter must prune partitions:\n$sc")
+      val selected = sc.selectedPartitions.partitionCount.toLong
+      val total = sc.relation.location.inputFiles.length.toLong
+      assert(selected <= nBuckets && selected < total,
+        s"pruning selected $selected partitions of $total files " +
+          s"for $nBuckets query-term buckets")
+    }
+    // and the full gated query carries the property: its executed plan
+    // never scans the documents parquet at all (the request text is a
+    // pinned point-lookup taken at serve-construction; postings and the
+    // rarity gate live in the index)
+    val fullScans = flattenPlanThroughReuse(
+      SparkEntry.queries("ss14_hybrid_index_serve")(spark, sf)
+        .queryExecution.executedPlan).collect {
+      case sc: FileSourceScanExec => sc }
+    assert(fullScans.forall(!_.relation.location.inputFiles
+        .exists(_.contains("documents"))),
+      "ss14's serve plan must not contain a corpus-text scan")
+  }
+
   test("dd04/dd07: verification runs inside the candidate join stage (no pair shuffle)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
