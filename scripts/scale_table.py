@@ -33,10 +33,18 @@ def main():
         art = json.load(f)
     rows = art["rows"]
     names = sys.argv[2:] or sorted({r["query"] for r in rows})
-    for tier in ("sf1_exact", "sf1_perturbed"):
-        if any(r["tier"] == tier for r in rows):
-            print(f"\n## sf0.1 -> {tier}\n")
-            fmt(rows, "sf0.1", tier, names)
+    for base, tier in (("sf0.1", "sf1_exact"), ("sf0.1", "sf1_perturbed"),
+                       ("sf0.01", "sf0.1")):
+        both = ({r["query"] for r in rows if r["tier"] == base} &
+                {r["query"] for r in rows if r["tier"] == tier})
+        if any(r["tier"] == tier and r["query"] in both for r in rows):
+            print(f"\n## {base} -> {tier}\n")
+            fmt(rows, base, tier, [q for q in names if q in both])
+    notes = art.get("notes", {})
+    if notes:
+        print("\n## notes\n")
+        for k in sorted(notes):
+            print(f"- `{k}` — {notes[k]}")
 
 
 if __name__ == "__main__":

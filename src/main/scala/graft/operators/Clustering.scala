@@ -172,6 +172,78 @@ object Clustering {
     }
   }
 
+  // cl03/cl04 shared DBSCAN shape: eps as a cosine floor; cl04's blocking
+  // params are tuned for THIS eps (see the cl04 entry) — changing one
+  // without re-tuning the other re-opens the r12 `weak` finding
+  private[graft] val DbscanEps = 0.35
+  private[graft] val Cl04Tables = 48
+  private[graft] val Cl04Bits = 10
+
+  /** cl04's full pipeline from an embedding slice: LSH-blocked candidate
+    * pairs (spread before the tables·bits·dim signature kernel — the
+    * embeddingLshPairs discipline; a small fixture is one split), exact
+    * cosine verify in codegen, distinct, then the shared decomposition. */
+  private def dbscanBlocked(s: SparkSession, e: DataFrame): DataFrame = {
+    val spread = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val pairs = Dedup.lshCandidatePairs(spread, Cl04Tables, Cl04Bits)
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
+      .filter(VectorOps.cosineD(col("a_v"), col("b_v")) >= DbscanEps)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    dbscanDecompose(e, pairs, minPts = 3)
+  }
+
+  /** ScaleProbe-only: cl04's blocked machinery over the WHOLE embeddings
+    * table — the growth measurement the gated entry cannot provide (its
+    * vec_id < 1000 ground-truth cap selects the same rows at every
+    * tier). Expected growth is ~quadratic in corpus size: at eps=0.35
+    * the candidate volume is Θ(n²)·~0.4 BY DESIGN (the dd08 lesson —
+    * blocking at low thresholds buys join shape and a ~2.4× constant,
+    * not an asymptotic cut), and the probe row exists to say so with a
+    * number instead of prose. */
+  private[graft] def dbscanBlockedUncapped(s: SparkSession, d: String): DataFrame =
+    dbscanBlocked(s, emb(s, d))
+
+  /** cl03/cl04 shared tail: the full deterministic DBSCAN decomposition
+    * (core by degree, clusters by star-contraction components over
+    * core-core edges, min-cluster border closure, noise) from an
+    * already-built eps-edge list. Pairs checkpoint once here — scanned
+    * by the degree, core-edge, and border passes. */
+  private def dbscanDecompose(e: DataFrame, pairs0: DataFrame,
+      minPts: Int): DataFrame = {
+    val pairs = pairs0.localCheckpoint(true)
+    val deg = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val core = deg.filter(col("deg") + 1 >= minPts).select(col("x").as("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a_id")), "a_id")
+      .join(core.select(col("id").as("b_id")), "b_id")
+      .select(col("a_id").as("ra"), col("b_id").as("rb"))
+    val comp = Dedup.starComponents(core.select(col("id").as("rep_id")), coreEdges)
+      .select(col("rep_id").as("id"), col("comp_id").as("cluster_id"))
+    val nbrs = pairs.select(explode(array(
+        struct(col("a_id").as("x"), col("b_id").as("y")),
+        struct(col("b_id").as("x"), col("a_id").as("y")))).as("n"))
+      .select(col("n.x").as("x"), col("n.y").as("y"))
+    val border = nbrs
+      .join(core.select(col("id").as("x"), lit(1).as("is_core")), Seq("x"), "left_anti")
+      .join(comp.select(col("id").as("y"), col("cluster_id")), "y")
+      .groupBy(col("x")).agg(min(col("cluster_id")).as("cluster_id"))
+      .select(col("x").as("id"), col("cluster_id"))
+    e.select(col("vec_id"))
+      .join(comp.select(col("id").as("vec_id"), col("cluster_id").as("core_cl")),
+        Seq("vec_id"), "left")
+      .join(border.select(col("id").as("vec_id"), col("cluster_id").as("border_cl")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("core_cl").isNotNull, "core")
+          .when(col("border_cl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cl"), col("border_cl")).as("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DBSCAN density clustering (Ester et al. KDD'96) over the embedding
     // space — the density complement to cl01's centroid partitioning
@@ -197,48 +269,42 @@ object Clustering {
     // border passes); components run in O(log n) rounds; the border
     // assignment is one keyed agg. No per-point iteration anywhere.
     "cl03_dbscan" -> ((s, d) => {
-      val minPts = 3
       // bounded ground-truth tier (the dd03/dd06 idiom): the exact
       // all-pairs eps-graph is quadratic by definition, so the shipped
-      // entry caps the input; the LSH-blocked pair search (dd13) is the
-      // unbounded path and plugs in below unchanged
+      // entry caps the input; cl04 is the blocked-pair-search scale path
+      // (same decomposition, LSH-blocked eps-graph, measured recall)
       val e = emb(s, d).filter(col("vec_id") < 1000)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
       val pairs = a.join(b, col("a_id") < col("b_id"))
-        .filter(VectorOps.cosineD(col("a_v"), col("b_v")) >= 0.35)
+        .filter(VectorOps.cosineD(col("a_v"), col("b_v")) >= DbscanEps)
         .select(col("a_id"), col("b_id"))
-        .localCheckpoint(true)
-      val deg = pairs
-        .select(explode(array(col("a_id"), col("b_id"))).as("x"))
-        .groupBy(col("x")).agg(count(lit(1)).as("deg"))
-      val core = deg.filter(col("deg") + 1 >= minPts).select(col("x").as("id"))
-      val coreEdges = pairs
-        .join(core.select(col("id").as("a_id")), "a_id")
-        .join(core.select(col("id").as("b_id")), "b_id")
-        .select(col("a_id").as("ra"), col("b_id").as("rb"))
-      val comp = Dedup.starComponents(core.select(col("id").as("rep_id")), coreEdges)
-        .select(col("rep_id").as("id"), col("comp_id").as("cluster_id"))
-      val nbrs = pairs.select(explode(array(
-          struct(col("a_id").as("x"), col("b_id").as("y")),
-          struct(col("b_id").as("x"), col("a_id").as("y")))).as("n"))
-        .select(col("n.x").as("x"), col("n.y").as("y"))
-      val border = nbrs
-        .join(core.select(col("id").as("x"), lit(1).as("is_core")), Seq("x"), "left_anti")
-        .join(comp.select(col("id").as("y"), col("cluster_id")), "y")
-        .groupBy(col("x")).agg(min(col("cluster_id")).as("cluster_id"))
-        .select(col("x").as("id"), col("cluster_id"))
-      e.select(col("vec_id"))
-        .join(comp.select(col("id").as("vec_id"), col("cluster_id").as("core_cl")),
-          Seq("vec_id"), "left")
-        .join(border.select(col("id").as("vec_id"), col("cluster_id").as("border_cl")),
-          Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          when(col("core_cl").isNotNull, "core")
-            .when(col("border_cl").isNotNull, "border")
-            .otherwise("noise").as("role"),
-          coalesce(col("core_cl"), col("border_cl")).as("cluster_id"))
+      dbscanDecompose(e, pairs, minPts = 3)
     }),
+
+    // The 100-TB DBSCAN (VERDICT r12 item 2): the SAME decomposition as
+    // cl03, but the eps-graph comes from dd13's LSH candidate machinery
+    // (lshCandidatePairs: radius-1 multi-probe bucket equi-join — a
+    // hash-partitionable join, never a materialized cross product) with
+    // tables×bits RE-TUNED for the eps=0.35 regime: per-hyperplane sign
+    // agreement at the cos-0.35 boundary is only p = 1 − arccos(.35)/π ≈
+    // 0.614 (vs ≈0.80 in dd13's cos-0.8 regime), so cl04 runs 48 tables
+    // × 10 bits where dd13 runs 6×16 — boundary-pair recall 1−(1−P₁)⁴⁸ ≈
+    // 0.94 for P₁ = p¹⁰+10p⁹(1−p); measured on the sf0.01 fixture
+    // (tools/Cl04Tune, edges hug the boundary: 212 of 271 in cos
+    // [0.35, 0.40)): recall 257/271 = 0.948 with 42% of all pairs as
+    // candidates. Exact-cosine verify decimates candidates in codegen
+    // before the distinct; everything downstream consumes only the
+    // verified edge list. Candidate volume at this low a threshold
+    // cannot reach dd13's sub-1% (the dd08 lesson: each added bit cuts
+    // random collisions by only (0.5/0.614)× at fixed recall) — the win
+    // is the JOIN SHAPE, not the selectivity; ClusteringSpec asserts
+    // both recall and volume against cl03's exact graph. Oracle: full
+    // SQL mirror of the blocking (the planes ride in as seed-derived
+    // literals — OracleMirror.lshPairsCtes) + cl03's DBSCAN tail, so
+    // the gate is hash-exact even where blocked recall < 1.
+    "cl04_dbscan_blocked" -> ((s, d) =>
+      dbscanBlocked(s, emb(s, d).filter(col("vec_id") < 1000))),
 
     // Trained-quantizer cluster statistics: size and within-cluster
     // cohesion (mean cosine to the assigned centroid) per cell. The
@@ -292,18 +358,12 @@ object Clustering {
     * [[OracleMirror.kmeansCtes]] unrolls the fixed `Iters` Lloyd
     * iterations as a CTE chain over the fixture parquet alone (no trained
     * value crosses from Spark into the oracle). */
-  val oracles: Map[String, String] = Map(
-    // the full DBSCAN decomposition re-derived: exact eps-graph, degree
-    // core test, recursive-CTE reachability over core-core edges
-    // (min-id labels — identical to star contraction's fixpoint), and
-    // the min-cluster border closure
-    "cl03_dbscan" -> """
-      WITH RECURSIVE
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            WHERE vec_id < 1000),
-      p AS (SELECT a.vec_id AS a, b.vec_id AS b
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+  /** cl03/cl04 shared oracle tail: the DBSCAN decomposition from a pair
+    * CTE `p(a, b)` and the capped slice `e` — degree core test,
+    * recursive-CTE reachability over core-core edges (min-id labels,
+    * identical to star contraction's fixpoint), min-cluster border
+    * closure, final role/cluster projection. */
+  private def dbscanTailSql: String = """
       deg AS (SELECT x, COUNT(*) AS deg
               FROM (SELECT a AS x FROM p UNION ALL SELECT b AS x FROM p)
               GROUP BY x),
@@ -326,7 +386,30 @@ object Clustering {
                   ELSE 'noise' END AS role,
              COALESCE(cc.cluster_id, bo.cluster_id) AS cluster_id
       FROM e LEFT JOIN comp cc ON e.vec_id = cc.id
-             LEFT JOIN border bo ON e.vec_id = bo.id""",
+             LEFT JOIN border bo ON e.vec_id = bo.id"""
+
+  val oracles: Map[String, String] = Map(
+    // the full DBSCAN decomposition re-derived: exact eps-graph, degree
+    // core test, recursive-CTE reachability over core-core edges
+    // (min-id labels — identical to star contraction's fixpoint), and
+    // the min-cluster border closure
+    "cl03_dbscan" -> s"""
+      WITH RECURSIVE
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id < 1000),
+      p AS (SELECT a.vec_id AS a, b.vec_id AS b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= $DbscanEps),
+      $dbscanTailSql""",
+
+    // cl04: the SAME DBSCAN tail over the LSH-blocked eps-graph — the
+    // blocking mirrored plane-for-plane (seed-derived literals), so the
+    // gate is hash-exact even where blocked recall < 1
+    "cl04_dbscan_blocked" -> s"""
+      WITH RECURSIVE
+      ${OracleMirror.lshPairsCtes("vec_id < 1000", Cl04Tables, Cl04Bits,
+        64, DbscanEps)},
+      $dbscanTailSql""",
 
     "cl01_kmeans_cells" -> s"""
       WITH ${OracleMirror.kmeansCtes(K, Iters)}

@@ -79,6 +79,32 @@ object Multimodal {
     * for arbitrarily long documents (the cap is mirrored in the oracle). */
   private[graft] val MaxFrames = 16
 
+  // mm03/mm06's media table: GIF payloads staged ONCE per fixture
+  // (VERDICT r12 item 5 — the dd12 build-once/serve-many precedent).
+  // Before r13 both queries re-ENCODED the corpus into GIF containers on
+  // every run, double-billing the synthetic encode onto the decode path
+  // that is the actual workload (a video corpus arrives encoded; the
+  // pipeline's job is the decode side). Build cost is paid once per
+  // fixture like dd12's cluster table; the gated queries read parquet
+  // (doc_id, source, payload) and measure decode + analysis only.
+  private val mediaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def mediaDir(s: SparkSession, d: String): String =
+    Materialized.dir(mediaCache, "graft-mm-media", d) { dir =>
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text").cast("binary").as("raw"))
+        .as[(Long, String, Array[Byte])].mapPartitions { batch =>
+          batch.map { case (id, source, content) =>
+            (id, source, encodeGif(content)) }
+        }.toDF("doc_id", "source", "payload")
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  private def media(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(mediaDir(s, d))
+
   /** Synthesize a real multi-frame "video": an animated GIF with one 8×8
     * grayscale frame per 64-byte chunk of the content (row-major pixels),
     * at most [[MaxFrames]] frames. Encoded with `javax.imageio`'s GIF
@@ -385,14 +411,15 @@ object Multimodal {
     }),
 
     // VIDEO frame sampling — a real multi-frame codec round trip (r4: the
-    // byte-arithmetic stub is gone). Stage 1 synthesizes an animated GIF
-    // per doc (one 8×8 grayscale frame per 64-byte chunk, ≤ MaxFrames);
-    // stage 2 opens the container with ImageIO's GIF reader, DECODES every
-    // 4th frame, and downscales it by exact 2×2 average pooling to a 4×4
-    // thumbnail. One input row fans out to many frame rows inside the same
-    // mapPartitions batch (the flatMap/UDTF batch shape of a mapInPandas
-    // frame extractor), then a per-source rollup. GIF grayscale is
-    // lossless, so the oracle predicts the DECODED thumbnails from text.
+    // byte-arithmetic stub is gone). The animated GIFs (one 8×8 grayscale
+    // frame per 64-byte chunk, ≤ MaxFrames) are STAGED once per fixture
+    // ([[mediaDir]] — r13); the query opens each container with ImageIO's
+    // GIF reader, DECODES every 4th frame, and downscales it by exact
+    // 2×2 average pooling to a 4×4 thumbnail. One input row fans out to
+    // many frame rows inside the same mapPartitions batch (the
+    // flatMap/UDTF batch shape of a mapInPandas frame extractor), then a
+    // per-source rollup. GIF grayscale is lossless, so the oracle
+    // predicts the DECODED thumbnails from text.
     // VIDEO scene-change detection — the shot-boundary pass a video
     // corpus pipeline runs before sampling training clips: decode EVERY
     // frame (real GIF reader, not byte peeking), reduce each to its
@@ -406,12 +433,7 @@ object Multimodal {
     // predicts the DECODED sums straight from text bytes.
     "mm06_scene_change" -> ((s, d) => {
       import s.implicits._
-      val src = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("source"), col("text").cast("binary").as("raw"))
-      val media = src.as[(Long, String, Array[Byte])].mapPartitions { batch =>
-        batch.map { case (id, source, content) => (id, source, encodeGif(content)) }
-      }.toDF("doc_id", "source", "payload")
-      val sums = media.as[(Long, String, Array[Byte])].mapPartitions { batch =>
+      val sums = media(s, d).as[(Long, String, Array[Byte])].mapPartitions { batch =>
         batch.flatMap { case (id, source, payload) =>
           decodeGifFrameSums(id, source, payload)
         }
@@ -429,12 +451,7 @@ object Multimodal {
 
     "mm03_frame_sample" -> ((s, d) => {
       import s.implicits._
-      val src = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("source"), col("text").cast("binary").as("raw"))
-      val media = src.as[(Long, String, Array[Byte])].mapPartitions { batch =>
-        batch.map { case (id, source, content) => (id, source, encodeGif(content)) }
-      }.toDF("doc_id", "source", "payload")
-      val frames = media.as[(Long, String, Array[Byte])].mapPartitions { batch =>
+      val frames = media(s, d).as[(Long, String, Array[Byte])].mapPartitions { batch =>
         batch.flatMap { case (id, source, payload) =>
           decodeGifFrames(id, source, payload)
         }

@@ -96,6 +96,34 @@ private[graft] object OracleMirror {
       SELECT q_id, c_id, rank, ROUND(cos, 6) AS cos_r
       FROM ranked WHERE rank <= $k"""
 
+  /** CTE chain mirroring `Dedup.lshCandidatePairs` + the exact-cosine
+    * verify (cl04's eps-graph): signatures on every vector, radius-1
+    * multi-probe, bucket equi-join with `a < b`, id-distinct candidates,
+    * then the cosine floor. Emits CTEs `planes`, `e` (the `pred`-capped
+    * embeddings slice), `sig`, `idx`, `probe`, `cand`, and `p(a, b)` —
+    * the verified eps-edge list a consumer (cl04's DBSCAN tail) reads.
+    * Distinct-before-verify here vs Spark's verify-before-distinct is
+    * set-equivalent (the verify is a pure per-pair predicate). */
+  def lshPairsCtes(pred: String, tables: Int, bits: Int, dim: Int,
+      thr: Double, seed: Long = 42L): String = s"""
+      planes(pid, pv) AS (VALUES ${planesValues(tables, bits, dim, seed)}),
+      e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE $pred),
+      sig AS MATERIALIZED (
+        SELECT vec_id, pid // $bits AS tbl,
+               CAST(SUM(CASE WHEN list_inner_product(v, pv) >= 0
+                             THEN 1 << (pid % $bits) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes
+        GROUP BY vec_id, pid // $bits),
+      idx AS (SELECT vec_id AS b, (tbl << $bits) | bucket AS tbk FROM sig),
+      probe AS (
+        SELECT DISTINCT vec_id AS a, (tbl << $bits) | xor(bucket, f) AS tbk
+        FROM sig, (VALUES ${flipValues(bits)}) fl(f)),
+      cand AS (SELECT DISTINCT a, b FROM probe JOIN idx USING (tbk) WHERE a < b),
+      p AS (SELECT c.a, c.b FROM cand c
+            JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+            WHERE list_cosine_similarity(ea.v, eb.v) >= ${dlit(thr)})"""
+
   /** CTE chain re-running `Clustering.trainKMeans(e, k, iters)` and
     * assigning every vector its trained cell: emits CTEs `e`, `cb0` …
     * `cb$iters`, `scF` (every (vec, cell) ranked by final-codebook score,

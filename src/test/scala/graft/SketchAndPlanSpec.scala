@@ -120,6 +120,16 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flatNodes.count(
       _.isInstanceOf[execution.exchange.ShuffleExchangeExec]) == 2,
       s"exactly two shuffles (rollup agg, window partition): $names")
+    // r13 (VERDICT r12 item 7): positive reachability, the q35 guard
+    // pattern — the rank window must have an Aggregate DESCENDANT (it
+    // ranks the ~|brands×types| aggregate, never |lineitem×3| raw rows)
+    val windows = flatNodes.collect { case w: execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"expected the rank window: $names")
+    windows.foreach { w =>
+      assert(flattenPlanThroughReuse(w).drop(1)
+          .exists(_.nodeName.contains("Aggregate")),
+        s"rank window with no Aggregate below it (ranks raw rows):\n$w")
+    }
   }
 
   test("q03: dimension joins broadcast, top-k is TakeOrdered") {
