@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -79,14 +79,16 @@ object Multimodal {
     * for arbitrarily long documents (the cap is mirrored in the oracle). */
   private[graft] val MaxFrames = 16
 
-  // mm03/mm06's media table: GIF payloads staged ONCE per fixture
-  // (VERDICT r12 item 5 — the dd12 build-once/serve-many precedent).
-  // Before r13 both queries re-ENCODED the corpus into GIF containers on
-  // every run, double-billing the synthetic encode onto the decode path
-  // that is the actual workload (a video corpus arrives encoded; the
-  // pipeline's job is the decode side). Build cost is paid once per
-  // fixture like dd12's cluster table; the gated queries read parquet
-  // (doc_id, source, payload) and measure decode + analysis only.
+  // The staged MEDIA TABLE (VERDICT r12 item 5 — the dd12
+  // build-once/serve-many precedent): all three synthetic codec payloads
+  // encode ONCE per fixture into one columnar parquet table
+  // (doc_id, source, gif, png, wav); each consumer reads ONLY its
+  // codec's column (parquet is columnar — mm02 never deserializes the
+  // GIF bytes). Before r13 every mm02/mm03/mm04/mm06 run re-ENCODED the
+  // corpus per query, double-billing the synthetic encode onto the
+  // decode path that is the actual workload (a media corpus arrives
+  // encoded; the pipeline's job is the decode side). Build cost rides
+  // the first access like dd12's cluster table.
   private val mediaCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -97,13 +99,14 @@ object Multimodal {
         .select(col("doc_id"), col("source"), col("text").cast("binary").as("raw"))
         .as[(Long, String, Array[Byte])].mapPartitions { batch =>
           batch.map { case (id, source, content) =>
-            (id, source, encodeGif(content)) }
-        }.toDF("doc_id", "source", "payload")
+            (id, source, encodeGif(content), encodePng(content),
+              encodeWav(content)) }
+        }.toDF("doc_id", "source", "gif", "png", "wav")
         .write.mode("overwrite").parquet(dir)
     }
 
-  private def media(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(mediaDir(s, d))
+  private def media(s: SparkSession, d: String, cols: Column*): DataFrame =
+    s.read.parquet(mediaDir(s, d)).select(cols: _*)
 
   /** Synthesize a real multi-frame "video": an animated GIF with one 8×8
     * grayscale frame per 64-byte chunk of the content (row-major pixels),
@@ -370,14 +373,10 @@ object Multimodal {
     // DuckDB check gates a genuine image decode.
     "mm02_feature_extract" -> ((s, d) => {
       import s.implicits._
-      val src = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("raw"))
-      val media = src.as[(Long, Array[Byte])].mapPartitions { batch =>
-        batch.map { case (id, content) => (id, encodePng(content)) }
-      }.toDF("doc_id", "payload")
-      val features = media.as[(Long, Array[Byte])].mapPartitions { batch =>
-        batch.map { case (id, payload) => decodePng(id, payload) }
-      }
+      val features = media(s, d, col("doc_id"), col("png"))
+        .as[(Long, Array[Byte])].mapPartitions { batch =>
+          batch.map { case (id, payload) => decodePng(id, payload) }
+        }
       features.toDF()
         .groupBy((col("pix_sum") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_media"),
@@ -393,14 +392,11 @@ object Multimodal {
     // from the text alone.
     "mm04_audio_features" -> ((s, d) => {
       import s.implicits._
-      val src = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("source"), col("text").cast("binary").as("raw"))
-      val media = src.as[(Long, String, Array[Byte])].mapPartitions { batch =>
-        batch.map { case (id, source, content) => (id, source, encodeWav(content)) }
-      }.toDF("doc_id", "source", "payload")
-      val features = media.as[(Long, String, Array[Byte])].mapPartitions { batch =>
-        batch.map { case (id, source, payload) => (source, decodeWav(id, payload)) }
-      }.toDF("source", "f")
+      val features = media(s, d, col("doc_id"), col("source"), col("wav"))
+        .as[(Long, String, Array[Byte])].mapPartitions { batch =>
+          batch.map { case (id, source, payload) =>
+            (source, decodeWav(id, payload)) }
+        }.toDF("source", "f")
       features.select(col("source"), col("f.*"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_clips"),
@@ -433,7 +429,8 @@ object Multimodal {
     // predicts the DECODED sums straight from text bytes.
     "mm06_scene_change" -> ((s, d) => {
       import s.implicits._
-      val sums = media(s, d).as[(Long, String, Array[Byte])].mapPartitions { batch =>
+      val sums = media(s, d, col("doc_id"), col("source"), col("gif"))
+        .as[(Long, String, Array[Byte])].mapPartitions { batch =>
         batch.flatMap { case (id, source, payload) =>
           decodeGifFrameSums(id, source, payload)
         }
@@ -451,7 +448,8 @@ object Multimodal {
 
     "mm03_frame_sample" -> ((s, d) => {
       import s.implicits._
-      val frames = media(s, d).as[(Long, String, Array[Byte])].mapPartitions { batch =>
+      val frames = media(s, d, col("doc_id"), col("source"), col("gif"))
+        .as[(Long, String, Array[Byte])].mapPartitions { batch =>
         batch.flatMap { case (id, source, payload) =>
           decodeGifFrames(id, source, payload)
         }

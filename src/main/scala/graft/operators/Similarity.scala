@@ -647,6 +647,30 @@ object Similarity {
         requestDocs(s, d, q.select(col("vec_id").as("q_id")))), vec)
     }),
 
+    // The serving matrix completed (r13): BOTH lanes index-served per
+    // micro-batch — the endpoint shape a deployment actually runs
+    // (ss09 = streaming vector-only serve; ss13 = streaming fusion with
+    // the brute vector lane that keeps it on ss11's oracle; ss15 = the
+    // full production streaming serve). Each trigger derives LSH probe
+    // keys AND term buckets from ITS batch, reads only those partitions
+    // of the two materialized indexes, verifies, fuses. Per-query
+    // independence makes the drained union equal batch ss14 exactly, so
+    // ss15 oracles against ss14's SQL verbatim — lane drift breaks both
+    // gates visibly (the ss13/ss11 discipline, one tier up).
+    "ss15_stream_index_serve" -> ((s, d) => {
+      val qsrc = emb(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      StreamingQueries.drainForeachBatch(s, Seq(
+        qsrc.filter(col("vec_id") < 4),
+        qsrc.filter(col("vec_id") >= 4))) { b =>
+        val vec = serveLshTopK(s, d,
+            b.select(col("vec_id"), col("embedding")), k = 20)
+          .select(col("q_id"), col("c_id"), col("rank").as("vec_rank"))
+        rrfFuse(lexLaneServed(s, d,
+          requestDocs(s, d, b.select(col("vec_id").as("q_id")))), vec)
+      }
+    }),
+
     // ANN EVALUATION HARNESS — recall@k of the production index against
     // exact ground truth, the report every pipeline runs after (re)building
     // an ANN index and before switching serving to it: per query, how many
@@ -834,6 +858,15 @@ object Similarity {
       vec AS (SELECT q_id, c_id, vec_rank FROM vecr WHERE vec_rank <= 20)""" +
     hybridFuseTail
 
+  /** ss14's oracle — also ss15's (the streamed double-index serve drains
+    * to the same per-query answers): lexical CTEs + the FULL LSH mirror
+    * at k=20 as the vector lane + the shared fusion tail. */
+  private val ss14Sql = hybridLexCtes + s""",
+      vec AS (SELECT q_id, c_id, rank AS vec_rank
+              FROM (${OracleMirror.lshTopKSql(
+    "vec_id < 10", "vec_id >= 10", LshTables, LshBits, lshDim, k = 20)}))""" +
+    hybridFuseTail
+
   val oracles: Map[String, String] = Map(
     "ss10_mmr_diversify" -> mmrOracleSql(5),
 
@@ -931,11 +964,12 @@ object Similarity {
 
     // the lexical CTEs verbatim + the FULL LSH mirror (k=20) as the
     // vector lane + the same fusion tail — nothing trained crosses over
-    "ss14_hybrid_index_serve" -> (hybridLexCtes + s""",
-      vec AS (SELECT q_id, c_id, rank AS vec_rank
-              FROM (${OracleMirror.lshTopKSql(
-      "vec_id < 10", "vec_id >= 10", LshTables, LshBits, lshDim, k = 20)}))""" +
-      hybridFuseTail),
+    "ss14_hybrid_index_serve" -> ss14Sql,
+
+    // the drained union across micro-batches equals one-shot batch ss14
+    // (per-query-independent fusion) — the SAME SQL gates both (the
+    // ss13/ss11 discipline applied to the double-index serve)
+    "ss15_stream_index_serve" -> ss14Sql,
 
     "ss03_label_centroids" -> """
       WITH expl AS (

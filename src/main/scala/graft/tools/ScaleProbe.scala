@@ -173,10 +173,12 @@ object ScaleProbe {
       "pp16_curriculum_order", "ss12_ann_recall_report",
       "ss14_hybrid_index_serve", "mm03_frame_sample", "mm06_scene_change",
       "cl03_dbscan", "cl04_dbscan_blocked",
-      // r13: the streaming hybrid drain rides the batch lane here (its
+      // r13: the streaming hybrid drains ride the batch lane here (their
       // construction runs the full drain inside the timed block; the
-      // BENCH_STREAM sf1 lane remains the canonical streaming decade)
-      "ss13_stream_hybrid_serve")
+      // BENCH_STREAM sf1 lane remains the canonical streaming decade).
+      // ss15 is the double-index twin — its row should be ~flat like
+      // ss14's (request-proportional serve against pruned indexes)
+      "ss13_stream_hybrid_serve", "ss15_stream_index_serve")
     buildPerturbed(spark)
     // the text-operator lane runs on BOTH ×10 regimes: exact-copy (their
     // saturation worst case, inside `queries` below) and perturbed

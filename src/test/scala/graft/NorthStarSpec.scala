@@ -383,6 +383,17 @@ class NorthStarSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing ${batch.diff(drained).take(3)}, extra ${drained.diff(batch).take(3)}")
   }
 
+  test("ss15 streaming double-index serve equals batch ss14 exactly") {
+    // r13: the full production streaming serve (both lanes read their
+    // materialized indexes per micro-batch) drains to the one-shot
+    // batch answer — per-query-independent fusion, the ss13/ss11
+    // equality one tier up
+    val batch = rows("ss14_hybrid_index_serve").map(_.toSeq).toSet
+    val drained = rows("ss15_stream_index_serve").map(_.toSeq).toSet
+    assert(drained == batch,
+      s"missing ${batch.diff(drained).take(3)}, extra ${drained.diff(batch).take(3)}")
+  }
+
   test("ss14 index-served hybrid: fusion arithmetic exact, served lane cosine-ordered") {
     val vecs = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
