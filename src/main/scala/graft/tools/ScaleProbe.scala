@@ -282,8 +282,9 @@ object ScaleProbe {
       "cl04_blocked_uncapped@sf0.1" ->
         ("~quadratic candidate volume by design at eps=0.35 (the dd08 " +
           "lesson: low-threshold LSH buys join shape and a ~2.4x " +
-          "constant, not an asymptotic cut); the row quantifies that " +
-          "trade one decade right"),
+          "constant, not an asymptotic cut); the fixture pair is a x4 " +
+          "vector count (500 -> 2000 = x16 pair volume) across the " +
+          "sf0.01 -> sf0.1 tier decade"),
       "ss14_hybrid_index_serve@sf1_exact" ->
         ("serve-time work is request-proportional (both lanes read " +
           "partition-pruned indexes); residual growth is the one-time " +
