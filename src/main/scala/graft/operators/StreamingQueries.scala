@@ -366,7 +366,7 @@ object StreamingQueries {
     * production shape for such jobs: each batch plans as a full batch
     * query, so per-batch partition pruning works (a stream-static join
     * could not prune — it would rescan the whole index every trigger). */
-  private[operators] def drainForeachBatch(s: SparkSession,
+  private[graft] def drainForeachBatch(s: SparkSession,
       splits: Seq[DataFrame])(perBatch: DataFrame => DataFrame): DataFrame =
     drainForeachBatchWithId(s, splits)((batch, _) => perBatch(batch))
 

