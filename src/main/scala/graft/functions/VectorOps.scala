@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** The fixture embedding dimensionality (TESTDATA.md), named ONCE for
+    * every plane-mirrored LSH oracle (ADVICE r13: cl04's oracle carried a
+    * bare `64` literal while the Spark side adapts to the runtime vector
+    * length — a fixture dim change would read as a confusing hash-gate
+    * mismatch instead of pointing here). The gates themselves assert it:
+    * a dim change hash-mismatches every LSH-mirrored query. */
+  private[graft] val EmbeddingDim = 64
+
   /** Cast array<float> → array<double> (exact widening). Do this ONCE per
     * row before any pairwise join — casting inside a pair expression would
     * re-allocate per pair. */

@@ -18,4 +18,14 @@ private[operators] object Materialized {
       build(d)
       d
     })
+
+  /** Stable cache key for session-scoped entries (ADVICE r13): the former
+    * `System.identityHashCode(session)` keys can be REUSED after a session
+    * is GC'd (or collide outright), handing a fresh session another
+    * session's dead checkpointed RDDs / unusable DataFrames. The engine's
+    * `sessionUUID` is unique for the JVM's lifetime. (Entries still live
+    * until JVM exit — the serving-process model these caches encode; the
+    * UUID key just guarantees a NEW session never inherits a dead one's.) */
+  private[operators] def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    org.apache.spark.sql.graft.SessionUid.of(s)
 }

@@ -100,12 +100,15 @@ private[graft] object OracleMirror {
     * verify (cl04's eps-graph): signatures on every vector, radius-1
     * multi-probe, bucket equi-join with `a < b`, id-distinct candidates,
     * then the cosine floor. Emits CTEs `planes`, `e` (the `pred`-capped
-    * embeddings slice), `sig`, `idx`, `probe`, `cand`, and `p(a, b)` —
-    * the verified eps-edge list a consumer (cl04's DBSCAN tail) reads.
-    * Distinct-before-verify here vs Spark's verify-before-distinct is
-    * set-equivalent (the verify is a pure per-pair predicate). */
+    * embeddings slice), `sig`, `idx`, `probe`, `cand`, and `$pairsCte(a,
+    * b, cos)` — the verified eps-edge list a consumer (cl04's DBSCAN
+    * tail, cl05's per-point top-k cap) reads; `cos` rides along for
+    * consumers that rank edges (cl05). Distinct-before-verify here vs
+    * Spark's verify-before-distinct is set-equivalent (the verify is a
+    * pure per-pair predicate). `pairsCte` renames the terminal CTE so a
+    * consumer can interpose its own `p` before the shared DBSCAN tail. */
   def lshPairsCtes(pred: String, tables: Int, bits: Int, dim: Int,
-      thr: Double, seed: Long = 42L): String = s"""
+      thr: Double, seed: Long = 42L, pairsCte: String = "p"): String = s"""
       planes(pid, pv) AS (VALUES ${planesValues(tables, bits, dim, seed)}),
       e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE $pred),
@@ -120,7 +123,8 @@ private[graft] object OracleMirror {
         SELECT DISTINCT vec_id AS a, (tbl << $bits) | xor(bucket, f) AS tbk
         FROM sig, (VALUES ${flipValues(bits)}) fl(f)),
       cand AS (SELECT DISTINCT a, b FROM probe JOIN idx USING (tbk) WHERE a < b),
-      p AS (SELECT c.a, c.b FROM cand c
+      $pairsCte AS (SELECT c.a, c.b, list_cosine_similarity(ea.v, eb.v) AS cos
+            FROM cand c
             JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
             WHERE list_cosine_similarity(ea.v, eb.v) >= ${dlit(thr)})"""
 

@@ -75,15 +75,16 @@ object Similarity {
   // bucket dirs (~1 s measured at sf0.1 — half the warm serve cost,
   // VERDICT r9 item 3). A serving process holds its index open; the
   // cached DataFrame's InMemoryFileIndex holds the listing, and partition
-  // pruning against it is in-memory. Keyed by session identity too:
-  // a DataFrame is unusable from any other session (tests open several).
+  // pruning against it is in-memory. Keyed by sessionUUID too (ADVICE
+  // r13: identity hashes can be reused after GC): a DataFrame is unusable
+  // from any other session (tests open several).
   private val lshIndexDfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   private def lshIndexDf(s: SparkSession, d: String): DataFrame = {
     val dir = lshIndexDir(s, d)
     lshIndexDfCache.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => s.read.parquet(dir))
+      (Materialized.sessionKey(s), dir), _ => s.read.parquet(dir))
   }
 
   /** Materialize the corpus INVERTED INDEX for the hybrid serve's lexical
@@ -120,14 +121,14 @@ object Similarity {
     }
 
   private val lexIndexDfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   // the OPENED lexical index (same lifecycle rationale as lshIndexDfCache:
   // a serving process holds its index open; partition discovery runs once)
   private def lexIndexDf(s: SparkSession, d: String): DataFrame = {
     val dir = lexIndexDir(s, d)
     lexIndexDfCache.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => s.read.parquet(dir))
+      (Materialized.sessionKey(s), dir), _ => s.read.parquet(dir))
   }
 
   /** Train the m per-subspace codebooks on the UNIT-NORMALIZED corpus side
@@ -293,6 +294,23 @@ object Similarity {
       .filter(col("lex_rank") <= 20)
       .select(col("q_id"), col("c_id"), col("lex_rank"))
     lex
+  }
+
+  /** ss14/ss15 shared DOUBLE-INDEX serve for one request batch
+    * (`qBatch`: (vec_id, embedding) rows — a serve request carries its
+    * own vectors): the vector lane reads ss08's bucket-partitioned LSH
+    * index (top-20 among verified candidates), the lexical lane reads
+    * the term-bucketed postings index, RRF fuses. Per-request work is
+    * proportional to the REQUEST on both lanes. Factored so the batch
+    * entry (ss14), the per-trigger streaming entry (ss15), and the
+    * serve-batch-size probe (tools/Ss15BatchProbe) run ONE code path. */
+  private[graft] def hybridServeIndexed(s: SparkSession, d: String,
+      qBatch: DataFrame): DataFrame = {
+    val vec = serveLshTopK(s, d,
+        qBatch.select(col("vec_id"), col("embedding")), k = 20)
+      .select(col("q_id"), col("c_id"), col("rank").as("vec_rank"))
+    rrfFuse(lexLaneServed(s, d,
+      requestDocs(s, d, qBatch.select(col("vec_id").as("q_id")))), vec)
   }
 
   /** RRF fusion of two (q_id, c_id, *_rank) lanes: a candidate missing
@@ -639,13 +657,9 @@ object Similarity {
     // the fusion arithmetic, tiebreaks, and the lexical SCORES are
     // byte-identical to ss11, and the oracle composes the lexical CTEs
     // with the FULL LSH mirror, so the fused answer is still hash-exact.
-    "ss14_hybrid_index_serve" -> ((s, d) => {
-      val q = emb(s, d).filter(col("vec_id") < 10)
-      val vec = serveLshTopK(s, d, q.select(col("vec_id"), col("embedding")), k = 20)
-        .select(col("q_id"), col("c_id"), col("rank").as("vec_rank"))
-      rrfFuse(lexLaneServed(s, d,
-        requestDocs(s, d, q.select(col("vec_id").as("q_id")))), vec)
-    }),
+    "ss14_hybrid_index_serve" -> ((s, d) =>
+      hybridServeIndexed(s, d, emb(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")))),
 
     // The serving matrix completed (r13): BOTH lanes index-served per
     // micro-batch — the endpoint shape a deployment actually runs
@@ -662,13 +676,7 @@ object Similarity {
         .select(col("vec_id"), col("embedding"))
       StreamingQueries.drainForeachBatch(s, Seq(
         qsrc.filter(col("vec_id") < 4),
-        qsrc.filter(col("vec_id") >= 4))) { b =>
-        val vec = serveLshTopK(s, d,
-            b.select(col("vec_id"), col("embedding")), k = 20)
-          .select(col("q_id"), col("c_id"), col("rank").as("vec_rank"))
-        rrfFuse(lexLaneServed(s, d,
-          requestDocs(s, d, b.select(col("vec_id").as("q_id")))), vec)
-      }
+        qsrc.filter(col("vec_id") >= 4)))(hybridServeIndexed(s, d, _))
     }),
 
     // ANN EVALUATION HARNESS — recall@k of the production index against
@@ -719,8 +727,9 @@ object Similarity {
   // ss09's drained stream equals batch ss08 by construction (per-batch
   // queries are disjoint and the serve is per-query independent).
   // fixture embedding dimensionality (asserted by the gate itself: a dim
-  // change would hash-mismatch)
-  private val lshDim = 64
+  // change would hash-mismatch) — the shared constant, so every
+  // plane-mirrored oracle points at one definition (ADVICE r13)
+  private val lshDim = EmbeddingDim
 
   /** ss10's oracle: the greedy MMR loop UNROLLED one CTE pair per
     * selection step (the OracleMirror k-means discipline — a fixed

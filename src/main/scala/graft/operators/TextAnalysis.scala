@@ -469,10 +469,12 @@ object TextAnalysis {
 
   // one trained tokenizer per (session, fixture, rounds) — the
   // codebookFor discipline: tx13 and tx15 consume the SAME model, so
-  // training runs once per JVM, not once per query (keyed by session
-  // identity: the checkpointed type table is session-bound)
+  // training runs once per JVM, not once per query (keyed by
+  // sessionUUID — ADVICE r13: an identity hash reused after the owning
+  // session is GC'd would hand a new session dead checkpointed RDDs; the
+  // checkpointed type table is session-bound)
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int), (Seq[DataFrame], DataFrame)]()
+    (String, String, Int), (Seq[DataFrame], DataFrame)]()
 
   /** tx13/tx15 shared training loop: R rounds of weighted-pair argmax +
     * greedy merge over the (word type, freq) table. Returns the per-round
@@ -482,7 +484,7 @@ object TextAnalysis {
     * round's subplan at each of its two references. */
   private def bpeTrain(s: SparkSession, d: String,
       rounds: Int = 6): (Seq[DataFrame], DataFrame) =
-    bpeCache.computeIfAbsent((System.identityHashCode(s), d, rounds),
+    bpeCache.computeIfAbsent((Materialized.sessionKey(s), d, rounds),
       _ => bpeTrainUncached(s, d, rounds))
 
   private def bpeTrainUncached(s: SparkSession, d: String,

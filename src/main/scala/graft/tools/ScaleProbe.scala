@@ -210,7 +210,14 @@ object ScaleProbe {
       // the NOVEL-corpus regime where prefix blocking actually prunes
       // (the exact-copy row is output-bound quadratic by design; see
       // the artifact note)
-      "dd07_prefix_join")
+      "dd07_prefix_join",
+      // r14 (VERDICT r13 item 4): dd04 is named as dd07's SCALE PATH in
+      // the exact-copy note, but its only decade row was that exact-copy
+      // tier (×7.6, output-bound like dd07's). The multiplicity-1
+      // perturbed row shows the banded blocking's pruning regime as a
+      // number — same fixture as dd07's perturbed row, directly
+      // comparable
+      "dd04_minhash_lsh_pairs")
     // tier names are the artifact's stable keys; the dirs ride alongside
     // so a reader can reproduce any row
     val Src001 = "/root/testdata/sf0.01"
@@ -218,8 +225,8 @@ object ScaleProbe {
       DstP -> "sf1_perturbed", Src001 -> "sf0.01")
     val jsonRows = Seq.newBuilder[String]
     def probe(dir: String, name: String,
-        fn: (SparkSession, String) => DataFrame = null): Unit = {
-      val mk = if (fn == null) SparkEntry.queries(name) else fn
+        fn: Option[(SparkSession, String) => DataFrame] = None): Unit = {
+      val mk = fn.getOrElse(SparkEntry.queries(name))
       // median-of-3 (r12): the r11 single-run numbers mixed first-query
       // JVM/codegen warmup and end-of-session GC pressure into the decade
       // columns (measured: dd16 on the perturbed tier read 17.5 s single
@@ -227,25 +234,29 @@ object ScaleProbe {
       // mechanical diff baseline the artifact exists to be. Same protocol
       // as Bench; shuffle bytes are deterministic per plan, recorded from
       // the median rep's pass.
-      val walls = (1 to 3).map { _ =>
+      var rows = -1L
+      val walls = (1 to 3).map { i =>
         System.gc()
         tap.harvest()
         val t0 = System.nanoTime()
         // noop write, not count(): see Bench — a stacked count()
         // re-optimizes and can delete the operator under test (dd16/pp05's
-        // final audit-table left joins). Row counts are taken from a
-        // SEPARATE count() afterwards: join elimination is semantics-
-        // preserving for the count, just not for the cost.
+        // final audit-table left joins). Row counts ride rep 1 as an
+        // OBSERVED metric (ADVICE r13: the former separate count() was a
+        // fourth full execution of the pipeline — for the uncapped DBSCAN
+        // lanes, a fourth run of the candidate join): CollectMetrics is a
+        // pass-through accumulator node, so rep 1's plan and cost are the
+        // query's own, and join elimination never enters.
         val df = mk(spark, dir)
-        df.write.format("noop").mode("overwrite").save()
+        val obs = if (i == 1) Some(org.apache.spark.sql.Observation()) else None
+        val out = obs.map(o => df.observe(o, count(lit(1)).as("n"))).getOrElse(df)
+        out.write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        // harvest BEFORE the row count so the count's own shuffle bytes
-        // don't double-bill the query
         val (wb, rb) = tap.harvest()
+        obs.foreach(o => rows = o.get.apply("n").asInstanceOf[Long])
         (sec, wb, rb)
       }
       val (sec, wb, rb) = walls.sortBy(_._1).apply(1)
-      val rows = mk(spark, dir).count()
       println(f"SCALEPROBE $dir $name rows=$rows wall=$sec%.2f s " +
         f"shuffle_w=${wb / 1e6}%.1f MB shuffle_r=${rb / 1e6}%.1f MB")
       jsonRows += f"""{"tier":"${tierOf(dir)}","query":"$name","rows":$rows,""" +
@@ -261,7 +272,15 @@ object ScaleProbe {
     // probe run for a number the sf0.01→sf0.1 decade already states.
     for (dir <- Seq(Src001, Src))
       probe(dir, "cl04_blocked_uncapped",
-        graft.operators.Clustering.dbscanBlockedUncapped)
+        Some(graft.operators.Clustering.dbscanBlockedUncapped))
+    // r14 (VERDICT r13 item 1): the bounded-degree kNN-graph tier's
+    // growth lane — corpus-sized bucketing (knnBitsFor) holds candidate
+    // volume at O(n log n), so unlike cl04's lane this one AFFORDS the
+    // sf1 tier (20k vectors = a ×100 pair-volume decade cl04 would spend
+    // the whole probe run on): three tiers, 500 → 2000 → 20000 vectors
+    for (dir <- Seq(Src001, Src, Dst))
+      probe(dir, "cl05_knn_uncapped",
+        Some(graft.operators.Clustering.dbscanKnnUncapped))
     // growth expectations a reader needs to judge the rows (VERDICT r12
     // item 4: the dd07 ×35 decade number must read as explained, not as
     // a regression)
@@ -284,7 +303,22 @@ object ScaleProbe {
           "lesson: low-threshold LSH buys join shape and a ~2.4x " +
           "constant, not an asymptotic cut); the fixture pair is a x4 " +
           "vector count (500 -> 2000 = x16 pair volume) across the " +
-          "sf0.01 -> sf0.1 tier decade"),
+          "sf0.01 -> sf0.1 tier decade; cl05_knn_uncapped is the " +
+          "subquadratic production shape"),
+      "cl05_knn_uncapped@sf1_exact" ->
+        ("the bounded-degree tier's growth claim as numbers: knnBitsFor " +
+          "sizes LSH buckets to the corpus (bits = ceil(log2(n/24))), so " +
+          "candidate volume is O(n log n) and the decomposition consumes " +
+          "<= k edges per point — compare wall growth against pair " +
+          "volume x100 from sf0.1 (2000 -> 20000 vectors); recall at " +
+          "fixed tables decays as bits grow (SCALE.md section 3 states " +
+          "the tables-for-recall trade this lane deliberately does not " +
+          "pay)"),
+      "dd04_minhash_lsh_pairs@sf1_perturbed" ->
+        ("the pruning regime for the op named as dd07's scale path: " +
+          "multiplicity-1 near-dup twins (no x100 output explosion), so " +
+          "the row measures the banded blocking itself — compare " +
+          "against the exact-copy tier's output-bound row"),
       "ss14_hybrid_index_serve@sf1_exact" ->
         ("serve-time work is request-proportional (both lanes read " +
           "partition-pruned indexes); residual growth is the one-time " +

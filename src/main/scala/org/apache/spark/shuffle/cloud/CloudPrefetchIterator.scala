@@ -197,19 +197,22 @@ private[cloud] class CloudPrefetchIterator(env: CloudShuffleEnv,
   }
 
   private def readUpTo(in: InputStream, limit: Long): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.min(limit, 1 << 20).toInt)
-    val buf = new Array[Byte](64 * 1024)
-    var left = limit
+    // exact-size single allocation (r14, tools/Ts01Profile): the block's
+    // buffered size is KNOWN up front (the index gives exact ranges), so
+    // read straight into one right-sized array — the former
+    // ByteArrayOutputStream + toByteArray pair double-copied and
+    // double-allocated every block, a GC tax the read path pays at any
+    // store latency. Blocks beyond byte[]-addressability buffer their
+    // first 2 GB; the SequenceInputStream tail streams the rest.
+    val size = math.min(limit, (Int.MaxValue - 16).toLong).toInt
+    val buf = new Array[Byte](size)
+    var off = 0
     var eof = false
-    while (left > 0 && !eof) {
-      val n = in.read(buf, 0, math.min(buf.length.toLong, left).toInt)
-      if (n < 0) eof = true
-      else {
-        out.write(buf, 0, n)
-        left -= n
-      }
+    while (off < size && !eof) {
+      val n = in.read(buf, off, size - off)
+      if (n < 0) eof = true else off += n
     }
-    out.toByteArray
+    if (off == size) buf else java.util.Arrays.copyOf(buf, off)
   }
 
   // --- consumer side ------------------------------------------------------

@@ -46,7 +46,14 @@ final class CloudShuffleEnv(val conf: SparkConf, val appId: String) extends Logg
     if (d.endsWith("/")) d.dropRight(1) else d
   }
   val folderPrefixes: Int = math.max(1, conf.getInt(PREFIXES_KEY, 10))
-  val writeBufferSize: Int = conf.getSizeAsBytes(WRITE_BUFFER_KEY, "8m").toInt
+  // 1m default (r14, was 8m): the buffer only coalesces sub-buffer write()
+  // calls before the FS client's own buffering (io.file.buffer.size /
+  // the object-store client's multipart block store) — 1 MiB keeps that
+  // protection while an 8 MiB array per concurrent map writer was pure
+  // heap churn (tools/Ts01Profile: ~10% of ts01's plugin-lane wall on the
+  // write side). Object-store PUT granularity lives in the FS client, not
+  // here; raise per job if a store's client measures otherwise.
+  val writeBufferSize: Int = conf.getSizeAsBytes(WRITE_BUFFER_KEY, "1m").toInt
   val readBufferSize: Int = conf.getSizeAsBytes(READ_BUFFER_KEY, "1m").toInt
   val maxBufferSizeTask: Long = conf.getSizeAsBytes(MAX_BUFFER_TASK_KEY, "128m")
   val maxConcurrencyTask: Int = math.max(1, conf.getInt(MAX_CONCURRENCY_KEY, 10))

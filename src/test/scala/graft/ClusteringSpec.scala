@@ -235,4 +235,92 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"blocked DBSCAN roles diverge from exact on $agree/${roles03.size}")
     e.unpersist(); exact.unpersist(); cand.unpersist()
   }
+
+  test("cl05: kNN eps-graph is bounded-degree and cluster-agrees with cl03") {
+    // VERDICT r13 item 1: the bounded-degree tier must carry (a) the
+    // structural bound that makes it the 100-TB shape — the edge list
+    // fed to the decomposition is <= n·k, never Θ(n²)·0.4 like cl04's
+    // candidate volume — and (b) a measured cluster-agreement bound vs
+    // cl03's exact tier (the cap can drop a cluster-merging edge between
+    // two cores that each already have k closer neighbors).
+    import graft.operators.Clustering
+    val e = emb().filter(col("vec_id") < 1000).cache()
+    val n = e.count()
+    val edges = Clustering.knnEpsEdges(spark, e,
+      Clustering.Cl05Tables, Clustering.Cl05Bits, Clustering.Cl05K).cache()
+    val nEdges = edges.count()
+    assert(nEdges > 0, "fixture kNN eps-graph is empty — agreement is vacuous")
+    assert(nEdges <= n * Clustering.Cl05K,
+      s"$nEdges edges exceed the n*k = ${n * Clustering.Cl05K} degree bound")
+    // every kept edge is a true eps-edge (the cap prunes, never invents)
+    val badEdge = edges
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
+      .filter(graft.functions.VectorOps.cosineD(col("a_v"), col("b_v"))
+        < Clustering.DbscanEps)
+      .count()
+    assert(badEdge == 0L, s"$badEdge kept edges below the eps floor")
+    def decomposition(name: String): Array[(Long, String, Option[Long])] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    def coPairs(rows: Array[(Long, String, Option[Long])]): Set[(Long, Long)] =
+      rows.collect { case (id, _, Some(c)) => (c, id) }
+        .groupBy(_._1).values.flatMap { m =>
+          val ids = m.map(_._2).sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.length)
+            yield (ids(i), ids(j))
+        }.toSet
+    val gt = decomposition("cl03_dbscan")
+    val got = decomposition("cl05_dbscan_knn")
+    val roleAgree = {
+      val gotRoles = got.map(t => t._1 -> t._2).toMap
+      gt.count { case (id, role, _) => gotRoles(id) == role }
+    }
+    val (gtP, gotP) = (coPairs(gt), coPairs(got))
+    val coRecall =
+      if (gtP.isEmpty) 1.0 else gtP.intersect(gotP).size.toDouble / gtP.size
+    val coPrec =
+      if (gotP.isEmpty) 1.0 else gtP.intersect(gotP).size.toDouble / gotP.size
+    info(f"cl05 vs cl03: roles $roleAgree/${gt.length}, co-cluster pairs " +
+      f"recall=$coRecall%.3f precision=$coPrec%.3f " +
+      f"(gt=${gtP.size}, got=${gotP.size}); edges=$nEdges (<= ${n}*${Clustering.Cl05K})")
+    assert(roleAgree.toDouble / gt.length >= 0.9,
+      s"kNN DBSCAN roles diverge from exact: $roleAgree/${gt.length}")
+    assert(coRecall >= 0.9, f"co-cluster recall $coRecall%.3f < 0.9")
+    assert(coPrec >= 0.9, f"co-cluster precision $coPrec%.3f < 0.9")
+    e.unpersist(); edges.unpersist()
+  }
+
+  test("cl05: the degree cap bites on a dense clique without splitting it") {
+    // the fixture's eps-graph is sparse (max degree < k), so the gated
+    // entry never exercises the cap — this planting does: 40 identical
+    // vectors form a 780-edge eps-clique, the cap must cut it to <= n·k
+    // edges, and the decomposition must still read ONE all-core cluster
+    // (each point keeps its k lowest-id twins — cos ties break by id —
+    // so every point stays connected through the low-id hub)
+    import graft.operators.Clustering
+    val v0 = emb().orderBy(col("vec_id")).limit(1)
+      .select(col("v")).collect()(0).getSeq[Double](0)
+    val n = 40
+    val k = Clustering.Cl05K
+    val clique = spark.range(n).select(col("id").as("vec_id"),
+      typedlit(v0).as("v"))
+    val edges = Clustering.knnEpsEdges(spark, clique,
+      Clustering.Cl05Tables, Clustering.Cl05Bits, k).cache()
+    val nEdges = edges.count()
+    info(s"clique edges kept: $nEdges of ${n * (n - 1) / 2} (bound ${n * k})")
+    assert(nEdges <= n * k,
+      s"cap did not bite: $nEdges edges > n*k = ${n * k}")
+    assert(nEdges < n.toLong * (n - 1) / 2,
+      "cap kept the full clique — the bounded-degree cut did nothing")
+    val out = Clustering.dbscanKnn(spark, clique,
+      Clustering.Cl05Tables, Clustering.Cl05Bits, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == n)
+    assert(out.forall(_._2 == "core"), "clique members must all be core")
+    assert(out.map(_._3).toSet == Set(0L),
+      s"capped clique split into clusters ${out.map(_._3).toSet}")
+    edges.unpersist()
+  }
 }

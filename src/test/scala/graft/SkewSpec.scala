@@ -239,7 +239,7 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       lit(1L).as("w"))
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val prev = ss.conf.get(coalesceKey)
-    val (offsetRows, nCells, maxSpan, maxCellRows) = try {
+    val (offsetRows, nCells, maxSpan, maxCellRows, minCellRows) = try {
       ss.conf.set(coalesceKey, "false")
       val cells = graft.operators.Pipelines.prefixScanCells(
         rows, Seq("source"), Seq(col("doc_id")), col("w"))
@@ -248,18 +248,28 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       val c = offsets.select(col("pid")).distinct().count()
       val span = offsets.groupBy(col("source")).count()
         .agg(max(col("count"))).collect().head.getLong(0)
-      val bal = cells.groupBy(col("pid")).count()
-        .agg(max(col("count"))).collect().head.getLong(0)
+      val perCell = cells.groupBy(col("pid")).count()
+        .agg(max(col("count")), min(col("count"))).collect().head
       offsets.unpersist()
-      (o, c, span, bal)
+      (o, c, span, perCell.getLong(0), perCell.getLong(1))
     } finally ss.conf.set(coalesceKey, prev)
     info(s"offsets=$offsetRows cells=$nCells maxGroupSpan=$maxSpan " +
-      s"maxCellRows=$maxCellRows (n=$n groups=$nGroups)")
+      s"cellRows=[$minCellRows,$maxCellRows] (n=$n groups=$nGroups)")
     assert(offsetRows <= nGroups + nCells,
       s"offsets table $offsetRows exceeds groups+cells ${nGroups + nCells} — " +
         "groups are no longer cell-contiguous")
-    assert(maxSpan <= 1 + nCells,
-      s"a group spans $maxSpan cells — the per-group window is unbounded")
+    // a CONTIGUOUS run of `groupRows` rows can intersect at most
+    // ceil(groupRows / minCellRows) + 1 range cells — the real
+    // contiguity bound (ADVICE r13: the former `maxSpan <= 1 + nCells`
+    // holds for ANY partitioning by definition and tested nothing);
+    // here 24-row groups against thousands-row cells means each group
+    // straddles at most one cell boundary
+    val groupRows = n / nGroups
+    val spanBound = 1 + (groupRows + minCellRows - 1) / math.max(minCellRows, 1L)
+    assert(maxSpan <= spanBound,
+      s"a group spans $maxSpan cells > contiguity bound $spanBound " +
+        s"($groupRows-row groups, min cell $minCellRows rows) — group rows " +
+        "are no longer contiguous across the range partitioning")
     assert(maxCellRows <= 4 * n / math.max(nCells, 1),
       s"cell imbalance: max $maxCellRows rows of $n across $nCells cells")
     // composed correctness at this group count: cum == rank within group
