@@ -440,6 +440,42 @@ object Clustering {
             .as("mean_cos"))
     }),
 
+    // Cluster-QUALITY report (r14 — the cl-numbering gap, and the ss12
+    // eval-harness discipline applied to the k-means tier): the report a
+    // pipeline runs before TRUSTING a trained quantizer. Per trained
+    // cell: size, cohesion (mean cos to the OWN centroid), separation
+    // (mean cos to the SECOND-nearest centroid), and the margin — a
+    // silhouette-style score on centroid distances, cluster-local by
+    // construction (classic silhouette is O(n²) point-pairs; scoring
+    // against the k centroids keeps the whole report one map pass).
+    // Both cosines score the broadcast literal codebook inline
+    // (NearestCells n=2 gives (own, runner-up) with ties toward the
+    // lower cell — exactly scF's rn=1/rn=2 in the oracle's unrolled
+    // Lloyd mirror); one K-row hash agg with decimal-exact means ends
+    // the plan. Map-side everything: at 100 TB this is a single corpus
+    // scan with a K-row result, the cheapest possible eval shape.
+    "cl02_cluster_quality" -> ((s, d) => {
+      val e = emb(s, d)
+      val cbLit = typedlit(codebookFor(s, d, K, Iters))
+      val top2 = org.apache.spark.sql.graft.NearestCells(col("v"), cbLit, 2)
+      val scored = e
+        .select(col("v"), element_at(top2, 1).as("cell"),
+          element_at(top2, 2).as("cell2"))
+        .select(col("cell"),
+          VectorOps.cosineD(col("v"), element_at(cbLit, col("cell") + 1))
+            .as("ca"),
+          VectorOps.cosineD(col("v"), element_at(cbLit, col("cell2") + 1))
+            .as("cb"))
+      val n = count(lit(1))
+      val sumA = sum(col("ca").cast("decimal(38,18)"))
+      val sumB = sum(col("cb").cast("decimal(38,18)"))
+      scored.groupBy(col("cell"))
+        .agg(n.as("n_vecs"),
+          round(sumA.cast("double") / n, 6).as("cohesion"),
+          round(sumB.cast("double") / n, 6).as("separation"),
+          round((sumA - sumB).cast("double") / n, 6).as("margin"))
+    }),
+
     // SemDeDup: semantic near-duplicate pairs found WITHIN trained
     // clusters only — the published recipe for embedding-level dedup at
     // corpus scale (cluster once, then each cell's pair search is local,
@@ -546,6 +582,30 @@ object Clustering {
       p AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
             FROM tk),
       $dbscanTailSql""",
+
+    // cl02: the same unrolled-Lloyd mirror; own cell = scF rn=1,
+    // runner-up = rn=2 (identical score/tiebreak order to NearestCells),
+    // cosines and decimal-exact means re-derived from the fixture alone
+    "cl02_cluster_quality" -> s"""
+      WITH ${OracleMirror.kmeansCtes(K, Iters)},
+      a1 AS (SELECT vec_id, cell FROM scF WHERE rn = 1),
+      a2 AS (SELECT vec_id, cell AS cell2 FROM scF WHERE rn = 2),
+      j AS (SELECT a1.cell,
+              list_cosine_similarity(e.v, c1.cv) AS ca,
+              list_cosine_similarity(e.v, c2.cv) AS cb
+            FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+            JOIN e ON e.vec_id = a1.vec_id
+            JOIN cb$Iters c1 ON c1.cell = a1.cell
+            JOIN cb$Iters c2 ON c2.cell = a2.cell2)
+      SELECT cell, COUNT(*) AS n_vecs,
+             ROUND(CAST(SUM(CAST(ca AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*), 6) AS cohesion,
+             ROUND(CAST(SUM(CAST(cb AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*), 6) AS separation,
+             ROUND(CAST(SUM(CAST(ca AS DECIMAL(38,18)))
+                        - SUM(CAST(cb AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*), 6) AS margin
+      FROM j GROUP BY cell""",
 
     "cl01_kmeans_cells" -> s"""
       WITH ${OracleMirror.kmeansCtes(K, Iters)}

@@ -136,6 +136,40 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sub-cap cell should take the exact all-pairs-within-cell path")
   }
 
+  test("cl02 quality report: sizes match cl01, scores are exact, quantizer separates") {
+    val e = emb()
+    val cb = Clustering.trainKMeans(e, Clustering.K, Clustering.Iters)
+    val q = SparkEntry.queries("cl02_cluster_quality")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    // cell partition must be cl01's exactly (same model, same argmax)
+    val sizes01 = SparkEntry.queries("cl01_kmeans_cells")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(q.map(_._2).sum == e.count(), "report must cover every vector")
+    q.foreach { case (cell, n, _, _, _) =>
+      assert(sizes01(cell) == n, s"cell $cell size diverges from cl01") }
+    // brute-force mirror of cohesion/separation on the collected fixture
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val ab = a.zip(b).map { case (x, y) => x * y }.sum
+      ab / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val rows = e.collect().map(r => r.getSeq[Double](1))
+    val perCell = rows.groupBy(v => argmin(v, cb))
+    q.foreach { case (cell, n, coh, sep, margin) =>
+      val vs = perCell(cell)
+      assert(vs.length == n)
+      val ca = vs.map(v => cos(v, cb(cell))).sum / vs.length
+      assert(math.abs(ca - coh) < 1e-5, s"cell $cell cohesion $coh != $ca")
+      assert(math.abs((coh - sep) - margin) < 2e-6,
+        s"cell $cell margin $margin != cohesion-separation")
+    }
+    // the trained quantizer must actually separate: corpus-weighted mean
+    // margin (own-centroid vs runner-up cosine) strictly positive
+    val wMargin = q.map(t => t._2 * t._5).sum / q.map(_._2).sum
+    info(f"corpus-weighted mean margin: $wMargin%.4f")
+    assert(wMargin > 0, f"trained cells do not separate: $wMargin%.4f")
+  }
+
   test("cl03 DBSCAN equals a single-threaded BFS mirror (roles and min-id labels)") {
     val eps = 0.35
     val minPts = 3
