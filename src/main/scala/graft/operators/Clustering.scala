@@ -269,6 +269,14 @@ object Clustering {
       .select(col("a_id"), col("b_id"),
         VectorOps.cosineD(col("a_v"), col("b_v")).as("cos"))
       .filter(col("cos") >= DbscanEps)
+      // pin the verified-edge subtree to ONE materialization (VERDICT r14
+      // item 2, the pp09 discipline): the directional self-union below
+      // consumes it twice, and relying on ReusedExchange to dedupe the
+      // LSH-candidate join + cosine verify would be plan-shape luck, not
+      // a guarantee. Lazy, so it adds no action — the edge list
+      // materializes inside the first consumer (the decompose tail's
+      // certificate count) and the flipped copy reads the cache.
+      .localCheckpoint(false)
     // per-point degree cap: rank each point's verified eps-neighbors
     // (both directions of every undirected edge), keep k, re-symmetrize.
     // The window partitions by point — hash-partitionable, and bounded
@@ -303,11 +311,24 @@ object Clustering {
     * by the degree, core-edge, and border passes. */
   private def dbscanDecompose(e: DataFrame, pairs0: DataFrame,
       minPts: Int): DataFrame = {
-    val pairs = pairs0.localCheckpoint(true)
+    // LAZY checkpoint (r15): still a LogicalRDD leaf (the degree,
+    // core-edge, and border passes all read one materialization), but the
+    // pair pipeline now materializes inside starComponents' first
+    // certificate count instead of as its own up-front action — one fewer
+    // cluster-wide barrier per DBSCAN query, ~8 fewer AQE stage-jobs
+    // locally (the eps-graph plan is the query's deepest subtree).
+    val pairs = pairs0.localCheckpoint(false)
     val deg = pairs
       .select(explode(array(col("a_id"), col("b_id"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // pin the core set (r15): it feeds the core-edge join (twice), the
+    // star loop's node table, the border anti-join, and the final role
+    // projection — each reference would re-run the degree aggregation
+    // over the pair list. Lazy: materializes inside the star loop's
+    // first certificate count. O(core points) ids — the table a
+    // production DBSCAN would checkpoint between phases anyway.
     val core = deg.filter(col("deg") + 1 >= minPts).select(col("x").as("id"))
+      .localCheckpoint(false)
     val coreEdges = pairs
       .join(core.select(col("id").as("a_id")), "a_id")
       .join(core.select(col("id").as("b_id")), "b_id")

@@ -883,18 +883,32 @@ object Dedup {
       // both edge directions from ONE scan of the (expensive) verified
       // pair set — a unionAll of two selects would run the prefix-join
       // subtree twice
+      //
+      // Checkpoints here are LAZY (eager = false, r15): eagerness decides
+      // only WHEN the RDD materializes, not whether the logical plan
+      // truncates — localCheckpoint returns a LogicalRDD leaf either way,
+      // so the 2^k-references-per-k-hop-round plan-size argument below is
+      // untouched. Lazily, each round's RDD materializes as a side effect
+      // of the NEXT action that reads it (the violations() certificate
+      // count), so the loop pays ONE action per round instead of
+      // checkpoint + count — at 100 TB each action is a cluster-wide
+      // barrier, and locally each was ~10 AQE stage-jobs of fixed
+      // scheduling latency (measured r15: dd09 3.7 s → see
+      // OPTIMIZATION_r15.md). Within that one action the checkpoint's
+      // persist (MEMORY_AND_DISK) still deduplicates the multi-referenced
+      // subtree: the first task to compute a partition caches it.
       val edges = pairs.select(explode(array(
           struct(col("ra").as("u"), col("rb").as("v")),
           struct(col("rb").as("u"), col("ra").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // a k-hop round references its input 2^k times (each hop reads the
       // label table on both sides of its join), so the input MUST be a
-      // checkpointed leaf — a lazy init would splice 16 copies of the
-      // upstream subtree into round 1's plan (measured: 6 s vs 1.2 s at
-      // sf0.1 for the identical round otherwise)
+      // checkpointed LEAF — a plain (uncheckpointed) init would splice 16
+      // copies of the upstream subtree into round 1's plan (measured: 6 s
+      // vs 1.2 s at sf0.1 for the identical round otherwise)
       var labels = reps.select(col("rep_id"), col("rep_id").as("comp_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       def hopMin(l: DataFrame): DataFrame = {
         val nbrMin = edges
           .join(l.withColumnRenamed("rep_id", "u"), "u")
@@ -912,12 +926,14 @@ object Dedup {
         .filter(col("lu") =!= col("lv")).count()
       // 2 blind rounds = 8 hops of label travel; every fixture's rep graph
       // has diameter <= 8 (measured via tools/Dd09Probe: labels stable
-      // after round 2 at sf0.1, earlier at smaller sf)
-      labels = step(step(labels).localCheckpoint()).localCheckpoint()
+      // after round 2 at sf0.1, earlier at smaller sf). Lazy checkpoints:
+      // the certificate count below is the loop's ONLY action — it
+      // materializes both rounds' label RDDs in one job instead of three.
+      labels = step(step(labels).localCheckpoint(false)).localCheckpoint(false)
       var v = violations(labels)
       var extraRounds = 0
       while (v > 0 && extraRounds < 25) {
-        labels = step(labels).localCheckpoint()
+        labels = step(labels).localCheckpoint(false)
         v = violations(labels)
         extraRounds += 1
       }
@@ -960,16 +976,28 @@ object Dedup {
   private[graft] def starComponents(reps: DataFrame, pairs: DataFrame): DataFrame =
     starComponentsWithRounds(reps, pairs)._1
 
-  private[graft] def starComponentsWithRounds(reps: DataFrame, pairs: DataFrame,
+  private[graft] def starComponentsWithRounds(reps0: DataFrame, pairs: DataFrame,
       maxRounds: Int = 30): (DataFrame, Int) = {
+    // pin the node table to ONE materialization (r15): labelsOf references
+    // it once per certificate and the certificate's lu/lv self-join embeds
+    // labelsOf twice, so a caller whose `reps` is itself a subplan (the
+    // DBSCAN decompose passes the degree-filtered core set) would re-run
+    // that subtree 2× per round. Lazy — materializes inside round 1's
+    // certificate count.
+    val reps = reps0.localCheckpoint(false)
     // canonical orientation u > v; a frozen copy feeds the certificate
     // (uniformity over one direction implies it over both), and the
-    // checkpoint means the verified pair set is scanned exactly once
+    // checkpoint means the verified pair set is scanned exactly once.
+    // LAZY (r15): the logical plan truncates to a LogicalRDD leaf either
+    // way; lazily the RDD materializes inside round 1's certificate count
+    // instead of as its own action — one cluster barrier saved here and
+    // one PER ROUND below (each round previously cost checkpoint + count;
+    // now the count materializes the round's edges as a side effect).
     var edges = pairs
       .select(greatest(col("ra"), col("rb")).as("u"),
         least(col("ra"), col("rb")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // the certificate checks ORIGINAL edges: capture the round-0
     // checkpoint by reference (the var moves on) — re-checkpointing it
     // would materialize a second copy for nothing
@@ -1008,13 +1036,30 @@ object Dedup {
       .filter(col("lu") =!= col("lv")).count()
     var rounds = 0
     var labels: DataFrame = null
+    // certificate CADENCE (r15, dd09's blind-round discipline applied
+    // here): every measured fixture graph converges in 3–5 contractions
+    // (dd15's rep graph 3, the DBSCAN eps core graphs 5 — tools/
+    // StarRounds), so the loop runs 3 contractions blind, certifies, then
+    // re-certifies every 2. Each contraction stays lazily checkpointed —
+    // plan depth is bounded per contraction exactly as before — and the
+    // certificate count is the only action, materializing every
+    // contraction since the previous check in one job chain. vs r14
+    // (checkpoint + certify every contraction): dd15 3 rounds = 6 actions
+    // → 1; cl03's tail 5 rounds = 10 actions → 2. At 100 TB each action
+    // is a cluster-wide barrier; the trade is ≤ 1 contraction of overshoot
+    // past the fixpoint (a contraction of an already-star graph is a
+    // cheap no-op) against certificates that each re-scan the original
+    // edge list. `rounds` still counts CONTRACTIONS.
     while (labels == null && rounds < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
-      rounds += 1
-      // labels stay LAZY: the certificate's count is the round's only
-      // other action, recomputing the cheap groupBy-min off the edge
+      val target = math.min(maxRounds, if (rounds == 0) 3 else rounds + 2)
+      while (rounds < target) {
+        edges = smallStar(largeStar(edges)).localCheckpoint(false)
+        rounds += 1
+      }
+      // labels stay LAZY: the certificate's count is the cadence's only
+      // action, recomputing the cheap groupBy-min off the edge
       // checkpoint inside its own plan (twice, for the lu/lv self-join —
-      // still far cheaper than a third materializing action per round;
+      // still far cheaper than a separate materializing action per round;
       // iterative loops are billed per ACTION, the dd09 lesson)
       val l = labelsOf(edges)
       if (violations(l) == 0) labels = l

@@ -701,6 +701,14 @@ object Pipelines {
               / (col("tt") + lit(B)).cast("double")
             - coalesce(col("s_r"), lit(0L)).cast("double")
               / (col("rr") + lit(B)).cast("double")).as("score"))
+        // pin to ONE materialization (r15, the `w` discipline one line
+        // up): `scored` is referenced twice — the threshold's histogram
+        // and the final audit projection — and each plan reference would
+        // otherwise re-run the corpus gram explode + weights join +
+        // per-doc aggregation end to end (measured: ~1.1 s of pp14's
+        // 3.2 s at sf0.1). Six scalar columns per doc, the table a DSIR
+        // run would checkpoint anyway; lazy, so no extra action.
+        .localCheckpoint(false)
       val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
         .withColumn("g", lit(0))
       // n counts the BASE table, not `scored` — scored's plan carries the
