@@ -752,8 +752,19 @@ object Dedup {
           s"'h', substring(md5(cast(array_join(slice(toks, i, $k), ' ') AS binary)), 1, 16)))"))
         .as("w"))
       .select(col("doc_id"), col("w.p").as("p"), col("w.h").as("h"))
-    val cnt = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-    val dup = wins.join(cnt, "h").filter(col("cnt") >= 2)
+    // occurrence count per window fingerprint as a WINDOW over the gram
+    // key, not groupBy + join-back (r15): the former referenced `wins`
+    // twice, and each plan reference re-ran the corpus window-explode +
+    // per-window md5 end to end (the query's dominant compute; measured
+    // ~0.6 s of dd16's 1.9 s at sf0.1 — plans/r15/dd16_substr_dedup_*).
+    // One gram pass, one exchange on h, identical counts. The count-only
+    // window streams its partition (the dd12 sizesViaWindow discipline:
+    // SkewSpec measured a 10⁶-row hot key clearing one window task in
+    // ~137 ms), so a corpus-wide boilerplate gram costs one spillable
+    // task, not a buffered sort.
+    val dup = wins
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("cnt") >= 2)
     val perDoc = dup.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_windows"),
         sort_array(collect_list(col("p"))).as("ps"))

@@ -445,11 +445,19 @@ object Relational {
     }),
 
     "q09_order_size_histogram" -> ((s, d) => {
+      // aggregate BEFORE the join (r15, guide-§2.3 "aggregate before you
+      // shuffle"): the former left-outer join carried every lineitem row
+      // to the per-order count — at 100 TB that shuffles the fact table
+      // to produce counts the partial agg already knows. Collapsing
+      // lineitem to (l_orderkey, n) first moves only one row per order
+      // key through the join; orders without lineitems read n = 0 via
+      // the left join exactly as count(l_orderkey) did over the empty
+      // match set.
       val ord = t(s, d, "orders")
-      val li = t(s, d, "lineitem")
-      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
-        .groupBy(col("o_orderkey"))
-        .agg(count(col("l_orderkey")).as("n_items"))
+      val cnts = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      ord.join(cnts, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("n_items"))
         .groupBy(col("n_items"))
         .agg(count(lit(1)).as("n_orders"))
     }),

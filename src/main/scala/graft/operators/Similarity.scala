@@ -233,7 +233,11 @@ object Similarity {
     Tables.load(s, d, "documents")
       .filter(col("doc_id").isin(ids.toIndexedSeq.map(Long.box): _*))
       .select(col("doc_id").as("q_id"), col("text"))
-      .localCheckpoint(true)
+      // lazy (r15): the plan is a leaf either way; the batch materializes
+      // inside the bucket-key collect that immediately consumes it
+      // instead of as its own up-front action — one action per serve
+      // batch saved, same self-contained serve plan.
+      .localCheckpoint(false)
   }
 
   /** ss14/ss13's PRODUCTION lexical lane: serve from the materialized

@@ -401,12 +401,17 @@ object TextAnalysis {
           explode(array_distinct(
             org.apache.spark.sql.graft.TextSignatures.bigrams(tokens(col("text")))))
             .as("bg"))
-      val df = bgs.groupBy(col("source"), col("bg"))
-        // rows are already distinct in (source, bg, doc_id) — the
-        // array_distinct upstream guarantees it — so a plain count equals
-        // countDistinct(doc_id) without the extra distinct-agg pass
-        .agg(count(lit(1)).as("ndocs"))
-      bgs.join(df, Seq("source", "bg"))
+      // document frequency per (source, bigram) as a WINDOW count, not
+      // groupBy + join-back (r15): the former referenced `bgs` twice and
+      // each plan reference re-ran the corpus bigram explode. Rows are
+      // already distinct in (source, bg, doc_id) — the array_distinct
+      // upstream guarantees it — so the plain window count equals
+      // countDistinct(doc_id); one bigram pass, one exchange on the
+      // (source, bg) key, and the count-only window streams its
+      // partition (the dd12 sizesViaWindow discipline).
+      bgs
+        .withColumn("ndocs", count(lit(1))
+          .over(Window.partitionBy(col("source"), col("bg"))))
         .groupBy(col("source"), col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
