@@ -506,8 +506,18 @@ object Dedup {
     // for-bit with ANSI SQL engines — so the FULL algorithm (tokenize,
     // vote, pack, pair, hamming) mirrors into a hash-exact DuckDB oracle.
     "dd05_simhash_pairs" -> ((s, d) => {
+      // pin the signature table (r15): the chunk self-join consumes it on
+      // both sides, and the join keys derive from `sh`, so Catalyst's
+      // null-filter inference pushed an isnotnull(simhash64(...)) BELOW
+      // each side's projection — the per-token-md5 signature kernel ran
+      // 2× per row per side, 4× per doc in the executed plan
+      // (plans/r15/dd05_simhash_pairs_before.txt). The checkpoint is a
+      // 16-byte/doc signature table — exactly what a production SimHash
+      // pass materializes — and lazy, so the query still runs as one
+      // action; both sides read the one materialization.
       val w = docs(s, d)
         .select(col("doc_id"), simhash(tokenSet(col("text"))).as("sh"))
+        .localCheckpoint(false)
       val chunked = w.select(col("doc_id"), col("sh"),
           explode(sequence(lit(0), lit(3))).as("chunk"))
         .withColumn("chunk_val",

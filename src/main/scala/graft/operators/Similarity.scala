@@ -285,13 +285,21 @@ object Similarity {
       .select(col("doc_id").as("c_id"),
         explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("c_id")).agg(count(lit(1)).as("tf"))
-    val dfT = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docsT.filter(col("doc_id") >= 10).agg(count(lit(1)).as("n"))
-    val rare = dfT.crossJoin(broadcast(nDocs))
-      .filter(col("df") * 10 <= col("n")).select(col("term"))
+    // document frequency as a WINDOW over the posting term, not a second
+    // aggregation joined back (r15): the former `dfT` referenced
+    // `postings` a second time, and column pruning made the two copies
+    // non-identical, so the corpus tokenize + gram aggregation ran twice
+    // per query. The count-only window streams each term's posting list
+    // (≤ n docs — the rare gate discards exactly the terms whose lists
+    // are long), and the rare filter commutes with the query-term join.
+    val withDf = postings.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
     val wl = Window.partitionBy(col("q_id"))
       .orderBy(col("lex_score").desc, col("n_match").desc, col("c_id"))
-    val lex = broadcast(qterms).join(rare, "term").join(postings, "term")
+    val lex = broadcast(qterms).join(withDf, "term")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10 <= col("n"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("tf")).as("lex_score"), count(lit(1)).as("n_match"))
       .withColumn("lex_rank", row_number().over(wl))

@@ -86,10 +86,18 @@ object TextAnalysis {
     "tx06_tfidf" -> ((s, d) => {
       val toks = docs(s, d).filter(col("doc_id") < 100)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      // every corpus statistic derives from the ONE (doc, term) tf
+      // aggregation (r15): doclen = Σ tf per doc, df = row count per term
+      // (tf rows are distinct in (doc, term) by construction), n = tf's
+      // distinct docs — the former four direct references to `toks` each
+      // re-ran the scan + tokenize + explode. The pin holds the
+      // vocabulary-bounded tf table to one materialization for its three
+      // readers; lazy, so the query is still one action.
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("doclen"))
-      val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-      val nd = toks.agg(countDistinct(col("doc_id")).as("n"))
+        .localCheckpoint(false)
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("doclen"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nd = tf.agg(countDistinct(col("doc_id")).as("n"))
       val scored = tf.join(dl, "doc_id").join(df, "term")
         .crossJoin(broadcast(nd))
         .select(col("doc_id"), col("term"),
@@ -117,7 +125,10 @@ object TextAnalysis {
     "tx08_common_token_density" -> ((s, d) => {
       val toks = docs(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      val nTotal = toks.agg(count(lit(1)).as("n_total"))
+      // total instance count = Σ of the dictionary's counts (r15): the
+      // former direct toks.agg re-ran the corpus explode a third time to
+      // produce one number the vocabulary-sized tf table already carries
+      val nTotal = tf.agg(sum(col("cnt")).as("n_total"))
       toks.join(tf, "tok")
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).as("sum_cnt"), count(lit(1)).as("n_tok"))
@@ -380,7 +391,15 @@ object TextAnalysis {
           i => struct(element_at(col("ws"), i).as("w1"),
             element_at(col("ws"), i + 1).as("w2")))).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // pin the bigram-type table (r15): it feeds the left/right marginal
+      // aggregations, the type-count scalar, AND the final join — four
+      // plan references, each of which re-ran the corpus pair explode +
+      // count (column pruning gives each copy a different ReadSchema, so
+      // exchange reuse never fires; 4 corpus passes measured in the
+      // executed plan). Vocabulary²-bounded — the "round table" a KN-LM
+      // build materializes; lazy, so no extra action.
       val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
       val left = bg.groupBy(col("w1"))
         .agg(sum(col("c")).as("c1"), count(lit(1)).as("n_right"))
       val right = bg.groupBy(col("w2")).agg(count(lit(1)).as("n_left"))
