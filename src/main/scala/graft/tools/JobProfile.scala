@@ -1,7 +1,8 @@
 package graft.tools
 
 import graft.{GraftSession, SparkEntry}
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
+  SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Dev probe (r15): per-JOB wall breakdown of a multi-action query — the
   * iterative operators (DBSCAN tail, star contraction, dd09's loop) are
