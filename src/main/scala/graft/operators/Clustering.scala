@@ -439,7 +439,11 @@ object Clustering {
     // DBSCAN's core test needs only ≥ minPts−1 eps-neighbors and cluster
     // formation only core-core connectivity, so the eps-graph is capped
     // to each point's top-Cl05K eps-neighbors by cosine (a kNN graph —
-    // per-point O(k) edges, the NG-DBSCAN family's move), and the
+    // ≤ k directed picks per point ⇒ ≤ n·k TOTAL edges; re-symmetrization
+    // keeps an edge if EITHER endpoint ranked it, so an individual
+    // point's undirected degree can exceed k (ADVICE r14 wording fix —
+    // the n·k bound is what ClusteringSpec asserts and what the
+    // asymptotics need; the NG-DBSCAN family's move), and the
     // blocking underneath sizes its buckets to the corpus
     // (knnBitsFor: bucket population ~constant ⇒ candidate volume
     // O(n log n); the gated entry pins the formula's fixture-scale values

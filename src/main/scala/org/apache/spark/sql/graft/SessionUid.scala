@@ -11,8 +11,19 @@ import org.apache.spark.sql.SparkSession
   * checkpointed state from a cache.
   */
 object SessionUid {
+  // non-classic fallback (ADVICE r14): an identityHashCode can be REUSED
+  // after the owning session is GC'd — exactly the hazard this shim
+  // removes for classic sessions — so non-classic sessions get a fresh
+  // UUID assigned once per session identity. Weak keys: the map must not
+  // keep dead sessions reachable.
+  private val fallback =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   def of(s: SparkSession): String = s match {
     case cs: org.apache.spark.sql.classic.SparkSession => cs.sessionUUID
-    case other => "idhash-" + System.identityHashCode(other)
+    case other =>
+      fallback.computeIfAbsent(other,
+        _ => "uid-" + java.util.UUID.randomUUID().toString)
   }
 }
