@@ -1031,10 +1031,17 @@ object Dedup {
       val mins = adj.groupBy("u").agg(min(col("v")).as("nmin"))
         .select(col("u"), least(col("u"), col("nmin")).as("m"))
       // emit (w, m(u)) for every larger neighbor w of u; w > u >= m keeps
-      // the canonical orientation with no re-sort
+      // the canonical orientation with no re-sort. NO distinct here (r15):
+      // the v > u filter keeps each undirected edge exactly once (only
+      // its smaller endpoint's direction survives), so the output is
+      // already ≤ one row per input edge — duplicates can only coincide
+      // ACROSS edges, never compound, and smallStar absorbs them (its
+      // min-aggregation is duplicate-blind and its terminal distinct
+      // ends the round). Dropping it removes one full exchange per
+      // contraction; the groupBy and the join both hash on u, so within
+      // one action the adjacency exchange is built once and reused.
       adj.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // input is canonical (all neighbors in a group are < u), so the
