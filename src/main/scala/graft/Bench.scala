@@ -164,18 +164,21 @@ object Bench {
     // median-of-3 cannot shed a contention episode that spans two of its
     // three passes. The `noise`/`slow` fields DIAGNOSE such a run; this
     // acts on the diagnosis: queries whose median sits far above their own
-    // noise floor (med − min > max(0.35·min, 0.25 s) in either lane) are
-    // re-run — same median-of-3 interleaved protocol, fresh session per
-    // lane, SAME lane order — and each lane keeps whichever of its two
-    // median-of-3 Stats has the LOWER median (host load only ever adds
-    // time, so across independent sessions the lower median is the better
-    // estimate of the query's cost; both lanes get the identical rule, so
-    // the overhead ratio stays fair). The original medians stay in
-    // target/bench.json as med0_s, and the compact line carries the
-    // spliced-query count as "requeried".
+    // noise floor are re-run — same median-of-3 interleaved protocol,
+    // fresh session per lane, SAME lane order. The trigger has a relative
+    // arm (med − min > max(0.35·min, 0.25 s)) and, since r16, an ABSOLUTE
+    // arm (med − min > 0.5 s): the r15 driver sweep showed the relative
+    // threshold scales with the query, so the two HEAVIEST contention
+    // artifacts (cl05 med−min 2.37 s < 0.35·7.80; cl04 1.01 s < 1.89)
+    // sailed past it while twelve sub-second queries were requeried —
+    // VERDICT r15 item 2. Candidates still rank by absolute med − min,
+    // so heavy-query inflation now always lands inside the cap. The
+    // original medians stay in target/bench.json as med0_s, and the
+    // compact line carries the spliced-query count as "requeried".
     def suspiciousIn(m: Map[String, Stat])(name: String): Boolean =
       m.get(name).exists(st => st.med > 0 &&
-        st.med - st.min > math.max(0.35 * st.min, 0.25))
+        (st.med - st.min > math.max(0.35 * st.min, 0.25) ||
+          st.med - st.min > 0.5))
     val suspects = ordered
       .filter { case (n, _) => suspiciousIn(plugin0)(n) || suspiciousIn(default0)(n) }
     // cap the re-measure at the 12 worst offenders (by med − min) so a
@@ -201,12 +204,33 @@ object Bench {
       } else {
         val p = laneSubset(usePlugin = true); (p, laneSubset(usePlugin = false))
       }
+    // PAIR-wise splice (r16, ADVICE r15): the r15 rule kept each lane's
+    // lower median independently, so a spliced query's plugin_overhead
+    // could pair a run-2 plugin Stat with a run-1 default Stat — ratios
+    // across different sessions. Now the (plugin, default) PAIR comes from
+    // whichever run has the lower COMBINED median (plugin-only when the
+    // default lane didn't run): the overhead ratio always compares
+    // same-session measurements, the choice rule is symmetric in the lanes
+    // (it cannot systematically favor the ratio), and "host load only adds
+    // time" still justifies preferring the quieter session. Audit trail
+    // unchanged: every replaced median rides in target/bench.json as
+    // med0_s / default_med0_s.
+    def medOf(m: Map[String, Stat], n: String): Double =
+      m.get(n).map(_.med).getOrElse(-1.0)
+    def keepRerun(n: String): Boolean = {
+      val p0 = medOf(plugin0, n); val p2 = medOf(plugin2, n)
+      if (p0 < 0 || p2 < 0) false
+      else {
+        val d0 = medOf(default0, n); val d2 = medOf(default2, n)
+        if (d0 < 0 || d2 < 0) p2 < p0 else p2 + d2 < p0 + d0
+      }
+    }
     def splice(base: Map[String, Stat], rerun: Map[String, Stat])
         : (Map[String, Stat], Map[String, Double]) = {
       val replaced = Map.newBuilder[String, Double]
       val merged = base.map { case (n, st) =>
         rerun.get(n) match {
-          case Some(r2) if r2.med >= 0 && st.med >= 0 && r2.med < st.med =>
+          case Some(r2) if keepRerun(n) =>
             replaced += n -> st.med
             n -> r2
           case _ => n -> st

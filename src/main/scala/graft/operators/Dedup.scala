@@ -750,31 +750,45 @@ object Dedup {
     * n_dup_windows, covered_tokens) — integer columns only, shared with
     * pp08's span-coverage gate (one definition, or the gate and the audit
     * would drift apart). See the dd16 entry for the algorithm. */
-  private[operators] def substrCoverage(s: SparkSession, d: String): DataFrame = {
+  private[operators] def substrCoverage(s: SparkSession, d: String): DataFrame =
+    substrCoverageOf(docs(s, d))
+
+  /** [[substrCoverage]] over an arbitrary (doc_id, text) corpus — factored
+    * (r16) so SkewSpec can plant a ≥10⁷-occurrence hot gram and measure
+    * the count shape's task bound. */
+  private[graft] def substrCoverageOf(docsDf: DataFrame): DataFrame = {
     val k = 8
-    val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val t = docsDf.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"))
     val wins = t.filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${k - 1}), i -> named_struct(" +
           s"'p', i, " +
-          s"'h', substring(md5(cast(array_join(slice(toks, i, $k), ' ') AS binary)), 1, 16)))"))
+          // 8-byte BINARY key (r16, guide "narrower types"): unhex of the
+          // md5 prefix is a bijection, so counts/joins are unchanged while
+          // the pinned gram table and the h-keyed exchange halve the key
+          // bytes vs the 16-hex-char string
+          s"'h', unhex(substring(md5(cast(array_join(slice(toks, i, $k), ' ') AS binary)), 1, 16))))"))
         .as("w"))
       .select(col("doc_id"), col("w.p").as("p"), col("w.h").as("h"))
-    // occurrence count per window fingerprint as a WINDOW over the gram
-    // key, not groupBy + join-back (r15): the former referenced `wins`
-    // twice, and each plan reference re-ran the corpus window-explode +
-    // per-window md5 end to end (the query's dominant compute; measured
-    // ~0.6 s of dd16's 1.9 s at sf0.1 — plans/r15/dd16_substr_dedup_*).
-    // One gram pass, one exchange on h, identical counts. The count-only
-    // window streams its partition (the dd12 sizesViaWindow discipline:
-    // SkewSpec measured a 10⁶-row hot key clearing one window task in
-    // ~137 ms), so a corpus-wide boilerplate gram costs one spillable
-    // task, not a buffered sort.
-    val dup = wins
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+    // occurrence count per window fingerprint: PIN the gram table (one
+    // corpus window-explode + md5 pass — the r15 lesson: an unpinned
+    // double reference re-ran the dominant compute per reference), then a
+    // partial→final groupBy count and a semi-join back on the gram key.
+    // r16 (VERDICT r15 item 6, replacing the r15 count-window): the
+    // window forced a globally-duplicated gram (boilerplate at 100 TB:
+    // 10⁸–10⁹ occurrences of ONE h) through a single window task that
+    // AQE cannot split. The groupBy's map-side combine bounds the hot
+    // key's shuffle to ≤ one row per map task, and the join-back is the
+    // one shape AQE's skew handling CAN split — SkewSpec measures the
+    // planted-hot-gram bound. Same single gram pass (the pin), identical
+    // counts, identical rows.
+    val winsP = wins.localCheckpoint(false)
+    val dupKeys = winsP.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
+      .select(col("h"))
+    val dup = winsP.join(dupKeys, Seq("h"), "left_semi")
     val perDoc = dup.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_windows"),
         sort_array(collect_list(col("p"))).as("ps"))
@@ -997,6 +1011,67 @@ object Dedup {
   private[graft] def starComponents(reps: DataFrame, pairs: DataFrame): DataFrame =
     starComponentsWithRounds(reps, pairs)._1
 
+  /** One large-star step over a canonically-oriented (u > v) edge set.
+    * Factored out of [[starComponentsWithRounds]] (r16) so the plan guard
+    * can count a single contraction's exchanges. */
+  private[graft] def largeStarRound(e: DataFrame): DataFrame = {
+    val adj = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("x"))
+      .select(col("x.u").as("u"), col("x.v").as("v"))
+    val mins = adj.groupBy("u").agg(min(col("v")).as("nmin"))
+      .select(col("u"), least(col("u"), col("nmin")).as("m"))
+    // emit (w, m(u)) for every larger neighbor w of u; w > u >= m keeps
+    // the canonical orientation with no re-sort. NO distinct here (r15):
+    // the v > u filter keeps each undirected edge exactly once (only
+    // its smaller endpoint's direction survives), so the output is
+    // already ≤ one row per input edge — duplicates can only coincide
+    // ACROSS edges, never compound, and smallStar absorbs them (its
+    // min-aggregation is duplicate-blind and its per-group dedup `ed`
+    // collapses them at the next round's head). The groupBy and the
+    // join both hash on u, so within one action the adjacency exchange
+    // is built once and reused.
+    adj.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+  }
+
+  /** One small-star step over a canonically-oriented edge set — r16
+    * (VERDICT r15 item 5, the carried round-fusion item): ONE u-keyed
+    * exchange per small-star instead of two. The r15 shape paid the
+    * groupBy/join exchange on u PLUS a terminal distinct exchange on
+    * (u, v); here the explicit repartition on u is the star's only
+    * shuffle and everything above rides it:
+    *   - `ed` dedups (u, v) pairs with no exchange of its own —
+    *     HashPartitioning(u) satisfies ClusteredDistribution(u, v)
+    *     (equal pairs are co-located by u alone). This absorbs the
+    *     previous round's residual duplicates EVERY round, so
+    *     multiplicity never compounds.
+    *   - `mins` (input is canonical — all neighbors in a group are < u,
+    *     so the group min IS the neighborhood min) and the ed ⋈ mins
+    *     equi-join on u reuse the same partitioning.
+    * The output SET is identical to the r15 shape: leaves (v, m) for
+    * every neighbor v ≠ m, plus one center (u, m) per group (u > m
+    * always — m is a strictly smaller neighbor), both in canonical
+    * orientation. What the dropped distinct cost: bounded RESIDUAL
+    * multiplicity instead of global distinctness — a pair can recur only
+    * as a leaf/center coincidence or as one (v, m) emitted from two
+    * groups sharing a min, so ≤ 2 rows per distinct output edge
+    * (|leaves| ≤ |ed|, |centers| ≤ #groups), and every downstream
+    * consumer (largeStar's min-agg, labelsOf, the certificate's
+    * inequality count) is duplicate-blind — labels, round count, and
+    * convergence are untouched. NorthStarSpec pins label equality on the
+    * adversarial graphs; the plan guard pins the two-exchange
+    * contraction. */
+  private[graft] def smallStarRound(e: DataFrame): DataFrame = {
+    val keyed = e.repartition(col("u"))
+    val ed = keyed.select(col("u"), col("v")).distinct()
+    val mins = ed.groupBy("u").agg(min(col("v")).as("m"))
+    val leaves = ed.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    leaves.unionAll(mins.select(col("u"), col("m").as("v")))
+  }
+
   private[graft] def starComponentsWithRounds(reps0: DataFrame, pairs: DataFrame,
       maxRounds: Int = 30): (DataFrame, Int) = {
     // pin the node table to ONE materialization (r15): labelsOf references
@@ -1023,37 +1098,6 @@ object Dedup {
     // checkpoint by reference (the var moves on) — re-checkpointing it
     // would materialize a second copy for nothing
     val orig = edges
-    def largeStar(e: DataFrame): DataFrame = {
-      val adj = e.select(explode(array(
-          struct(col("u"), col("v")),
-          struct(col("v").as("u"), col("u").as("v")))).as("x"))
-        .select(col("x.u").as("u"), col("x.v").as("v"))
-      val mins = adj.groupBy("u").agg(min(col("v")).as("nmin"))
-        .select(col("u"), least(col("u"), col("nmin")).as("m"))
-      // emit (w, m(u)) for every larger neighbor w of u; w > u >= m keeps
-      // the canonical orientation with no re-sort. NO distinct here (r15):
-      // the v > u filter keeps each undirected edge exactly once (only
-      // its smaller endpoint's direction survives), so the output is
-      // already ≤ one row per input edge — duplicates can only coincide
-      // ACROSS edges, never compound, and smallStar absorbs them (its
-      // min-aggregation is duplicate-blind and its terminal distinct
-      // ends the round). Dropping it removes one full exchange per
-      // contraction; the groupBy and the join both hash on u, so within
-      // one action the adjacency exchange is built once and reused.
-      adj.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      // input is canonical (all neighbors in a group are < u), so the
-      // group min IS the neighborhood min
-      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
-      e.join(mins, "u")
-        .select(explode(array(
-          struct(col("v").as("a"), col("m").as("b")),
-          struct(col("u").as("a"), col("m").as("b")))).as("x"))
-        .select(col("x.a").as("u"), col("x.b").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-    }
     def labelsOf(e: DataFrame): DataFrame = reps
       .join(e.groupBy(col("u").as("rep_id")).agg(min(col("v")).as("m")),
         Seq("rep_id"), "left")
@@ -1074,14 +1118,15 @@ object Dedup {
     // contraction since the previous check in one job chain. vs r14
     // (checkpoint + certify every contraction): dd15 3 rounds = 6 actions
     // → 1; cl03's tail 5 rounds = 10 actions → 2. At 100 TB each action
-    // is a cluster-wide barrier; the trade is ≤ 1 contraction of overshoot
-    // past the fixpoint (a contraction of an already-star graph is a
-    // cheap no-op) against certificates that each re-scan the original
-    // edge list. `rounds` still counts CONTRACTIONS.
+    // is a cluster-wide barrier; the trade is ≤ 2 contractions of
+    // overshoot past the fixpoint (ADVICE r15: a graph converging at
+    // round 1 is first certified at round 3; a contraction of an
+    // already-star graph is a cheap no-op) against certificates that each
+    // re-scan the original edge list. `rounds` still counts CONTRACTIONS.
     while (labels == null && rounds < maxRounds) {
       val target = math.min(maxRounds, if (rounds == 0) 3 else rounds + 2)
       while (rounds < target) {
-        edges = smallStar(largeStar(edges)).localCheckpoint(false)
+        edges = smallStarRound(largeStarRound(edges)).localCheckpoint(false)
         rounds += 1
       }
       // labels stay LAZY: the certificate's count is the cadence's only

@@ -281,20 +281,25 @@ object Similarity {
     val qterms = docsT.join(broadcast(qIds), col("doc_id") === col("q_id"))
       .select(col("q_id"),
         explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+    // PIN the postings table (r16, ADVICE r15): one corpus tokenize +
+    // gram aggregation feeds both the df count and the scoring join.
+    // The r15 shape computed df as a count-window over term, which
+    // shuffles the ENTIRE postings table by term and funnels each term's
+    // full posting list through one window task BEFORE the rare gate can
+    // discard it — a stopword's corpus-wide list in a single unsplittable
+    // task at production scale. The pin keeps the single tokenize pass
+    // (the r15 win) while df reverts to a partial-aggregating groupBy
+    // (map-side combine: ≤ one row per term per map task crosses the
+    // wire) joined back on term — the join is AQE-skew-splittable where
+    // the window was not.
     val postings = docsT.filter(col("doc_id") >= 10)
       .select(col("doc_id").as("c_id"),
         explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("c_id")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val nDocs = docsT.filter(col("doc_id") >= 10).agg(count(lit(1)).as("n"))
-    // document frequency as a WINDOW over the posting term, not a second
-    // aggregation joined back (r15): the former `dfT` referenced
-    // `postings` a second time, and column pruning made the two copies
-    // non-identical, so the corpus tokenize + gram aggregation ran twice
-    // per query. The count-only window streams each term's posting list
-    // (≤ n docs — the rare gate discards exactly the terms whose lists
-    // are long), and the rare filter commutes with the query-term join.
-    val withDf = postings.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val dfT = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = postings.join(dfT, "term")
     val wl = Window.partitionBy(col("q_id"))
       .orderBy(col("lex_score").desc, col("n_match").desc, col("c_id"))
     val lex = broadcast(qterms).join(withDf, "term")
@@ -340,24 +345,54 @@ object Similarity {
         col("lex_rank"), col("vec_rank"), round(col("rrf"), 9).as("rrf_r"))
   }
 
+  /** ss01's exact brute-force lane over an arbitrary loaded embeddings
+    * table (columns vec_id, embedding). Parametrized (r16, VERDICT r15
+    * item 7) so ss12 can compose the SHIPPED lane over one pinned corpus
+    * read — in-query reuse; ss01 itself still reads the parquet. */
+  private[graft] def cosineTopkOf(eRaw: DataFrame): DataFrame = {
+    val e = eRaw.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    val scored = q.crossJoin(c)
+      .select(col("q_id"), col("c_id"),
+        cosineD(col("q_v"), col("c_v")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored.select(col("q_id"), col("c_id"), col("cos"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
+  }
+
+  /** ss02's multi-probe LSH lane over an arbitrary loaded embeddings
+    * table — same parametrization contract as [[cosineTopkOf]]. */
+  private[graft] def annLshTopkOf(eRaw: DataFrame): DataFrame = {
+    val e = eRaw.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // ids-only through the bucket join + distinct (vector arrays must
+    // not ride the candidate shuffle); vectors re-join for scoring
+    val q = eRaw.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+      explode(rpLshProbes(col("embedding"), LshTables, LshBits)).as("tbk"))
+    val c = eRaw.filter(col("vec_id") >= 10).select(col("vec_id").as("c_id"),
+      explode(rpLshTables(col("embedding"), LshTables, LshBits)).as("tbk"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    q.join(c, Seq("tbk"))
+      .select(col("q_id"), col("c_id")).distinct()
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), "q_id")
+      .join(e.select(col("vec_id").as("c_id"), col("v").as("c_v")), "c_id")
+      .select(col("q_id"), col("c_id"),
+        cosineD(col("q_v"), col("c_v")).as("cos"))
+      .select(col("q_id"), col("c_id"), col("cos"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-5 neighbors for 10 query vectors by brute-force cosine.
-    "ss01_cosine_topk" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-      val c = e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
-      val scored = q.crossJoin(c)
-        .select(col("q_id"), col("c_id"),
-          cosineD(col("q_v"), col("c_v")).as("cos"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("c_id"))
-      scored.select(col("q_id"), col("c_id"), col("cos"),
-          row_number().over(w).as("rank"))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
-    }),
+    "ss01_cosine_topk" -> ((s, d) => cosineTopkOf(emb(s, d))),
 
     // ANN via multi-probe random-hyperplane LSH: 8 tables × 6 sign bits,
     // corpus indexed at radius 0, queries probe radius 1 (bucket + every
@@ -367,27 +402,7 @@ object Similarity {
     // the recall (recall@5 measured in NorthStarSpec). The corpus index
     // stays one row per (vector, table) — probing only amplifies the
     // tiny query side, never the corpus.
-    "ss02_ann_lsh_topk" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      // ids-only through the bucket join + distinct (vector arrays must
-      // not ride the candidate shuffle); vectors re-join for scoring
-      val q = emb(s, d).filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
-        explode(rpLshProbes(col("embedding"), LshTables, LshBits)).as("tbk"))
-      val c = emb(s, d).filter(col("vec_id") >= 10).select(col("vec_id").as("c_id"),
-        explode(rpLshTables(col("embedding"), LshTables, LshBits)).as("tbk"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("c_id"))
-      q.join(c, Seq("tbk"))
-        .select(col("q_id"), col("c_id")).distinct()
-        .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), "q_id")
-        .join(e.select(col("vec_id").as("c_id"), col("v").as("c_v")), "c_id")
-        .select(col("q_id"), col("c_id"),
-          cosineD(col("q_v"), col("c_v")).as("cos"))
-        .select(col("q_id"), col("c_id"), col("cos"),
-          row_number().over(w).as("rank"))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 6).as("cos_r"))
-    }),
+    "ss02_ann_lsh_topk" -> ((s, d) => annLshTopkOf(emb(s, d))),
 
     // IVF-style ANN with a genuinely TRAINED coarse quantizer (r4: the
     // per-label-mean stand-in is gone — Clustering.trainKMeans runs
@@ -701,8 +716,17 @@ object Similarity {
     // O(queries·k) rows, so the harness adds nothing to either lane's
     // scale shape.
     "ss12_ann_recall_report" -> ((s, d) => {
-      val exact = queries("ss01_cosine_topk")(s, d).select(col("q_id"), col("c_id"))
-      val ann = queries("ss02_ann_lsh_topk")(s, d)
+      // r16 (VERDICT r15 item 7): both lanes compose over ONE pinned
+      // corpus read instead of each re-scanning the embeddings parquet
+      // (the r15 plan read it 6×: exact q/c + LSH probe/index/q_v/c_v).
+      // IN-QUERY reuse only — the pin is lazy and lives inside this
+      // query's own action, nothing crosses invocations. The lanes are
+      // still the shipped code paths (cosineTopkOf/annLshTopkOf are
+      // ss01/ss02's own bodies, parametrized over the source).
+      val eP = emb(s, d).select(col("vec_id"), col("embedding"))
+        .localCheckpoint(false)
+      val exact = cosineTopkOf(eP).select(col("q_id"), col("c_id"))
+      val ann = annLshTopkOf(eP)
         .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
       exact.join(ann, Seq("q_id", "c_id"), "left")
         .groupBy(col("q_id"))

@@ -420,20 +420,27 @@ object TextAnalysis {
           explode(array_distinct(
             org.apache.spark.sql.graft.TextSignatures.bigrams(tokens(col("text")))))
             .as("bg"))
-      // document frequency per (source, bigram) as a WINDOW count, not
-      // groupBy + join-back (r15): the former referenced `bgs` twice and
-      // each plan reference re-ran the corpus bigram explode. Rows are
-      // already distinct in (source, bg, doc_id) — the array_distinct
-      // upstream guarantees it — so the plain window count equals
-      // countDistinct(doc_id); one bigram pass, one exchange on the
-      // (source, bg) key, and the count-only window streams its
-      // partition (the dd12 sizesViaWindow discipline).
-      bgs
-        .withColumn("ndocs", count(lit(1))
-          .over(Window.partitionBy(col("source"), col("bg"))))
+      // document frequency per (source, bigram): PIN the bigram table
+      // (one corpus explode — the r15 lesson: an unpinned double
+      // reference re-ran it per reference), then a partial→final groupBy
+      // count and a join back on the bigram key. r16 (VERDICT r15
+      // item 6, replacing the r15 count-window): the window forced a
+      // boilerplate bigram shared by every doc of a source through ONE
+      // window task AQE cannot split; the groupBy's map-side combine
+      // bounds the hot key's shuffle to ≤ one row per map task, and the
+      // join-back is AQE-skew-splittable. Rows are distinct in (source,
+      // bg, doc_id) — array_distinct upstream — so the count equals
+      // countDistinct(doc_id), and `shared` keys are unique, so the left
+      // join preserves row counts. Identical output.
+      val bgsP = bgs.localCheckpoint(false)
+      val shared = bgsP.groupBy(col("source"), col("bg"))
+        .agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") > 1)
+        .select(col("source"), col("bg"), lit(1L).as("sh"))
+      bgsP.join(shared, Seq("source", "bg"), "left")
         .groupBy(col("source"), col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+          sum(when(col("sh").isNotNull, 1L).otherwise(0L)).as("n_shared"))
         .orderBy(col("n_shared").desc, col("doc_id"))
         .limit(20)
     })

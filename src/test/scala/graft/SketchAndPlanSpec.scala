@@ -198,14 +198,17 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"mask + count + fingerprint must all stay map-side:\n$p")
   }
 
-  test("dd16: two exchanges (gram count, per-doc fold) and no pair-shaped join") {
+  test("dd16: per-occurrence gram traffic — two exchanges, no pair-shaped join") {
     // the span-dedup scale claims: window fingerprints meet through ONE
-    // hash aggregation + a count-back join (per OCCURRENCE — never a
-    // pair product), and the coverage fold adds one per-doc aggregation;
-    // nothing else may shuffle
+    // partial→final hash aggregation + a semi-join back on the gram key
+    // (per OCCURRENCE — never a pair product), and the coverage fold adds
+    // one per-doc aggregation; nothing else may shuffle. Executed plan:
+    // AQE broadcasts the dup-key dictionary and the per-doc audit at
+    // fixture scale, so the two shuffles are the gram count and the fold.
     import org.apache.spark.sql.execution
-    val flat = flattenPlan(SparkEntry.queries("dd16_substr_dedup")(spark, sf)
-      .queryExecution.executedPlan)
+    val df = SparkEntry.queries("dd16_substr_dedup")(spark, sf)
+    df.collect()
+    val flat = flattenPlanThroughReuse(df.queryExecution.executedPlan)
     def names = flat.map(_.nodeName).mkString(", ")
     assert(flat.count(_.isInstanceOf[execution.exchange.ShuffleExchangeExec]) == 2,
       s"expected exactly the gram-count and per-doc-fold exchanges: $names")
@@ -788,23 +791,74 @@ class SketchAndPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("dd16/tx10: gram counts are a single corpus pass (window, not join-back)") {
-    // r15: the duplicated-window count (dd16) and the bigram document
-    // frequency (tx10) were groupBy + join-back shapes whose two plan
-    // references each re-ran the corpus explode; both now count via a
-    // window over the gram key. Guard: exactly ONE GenerateExec (the
-    // explode) and at least one WindowExec in each executed plan.
+  test("star contraction: one exchange pair per contraction, r15-identical edge set") {
+    // r16 (VERDICT r15 item 5): a contraction is largeStar (adjacency
+    // exchange on u) + smallStar (ONE repartition on the new u — the
+    // dedup, the neighborhood min, and the equi-join all ride that
+    // partitioning; the r15 terminal distinct's extra (u, v) exchange is
+    // gone). Edge set with duplicates, a shared min, and a leaf/center
+    // coincidence; asserts (a) exactly two shuffles per contraction and
+    // (b) the emitted edge SET equals the r15 distinct'd shape.
+    import org.apache.spark.sql.execution
+    val sq = spark
+    import sq.implicits._
+    val e = Seq((5L, 1L), (4L, 1L), (5L, 4L), (3L, 2L), (6L, 2L), (9L, 8L),
+        (5L, 1L), (7L, 2L), (7L, 3L))
+      .toDF("u", "v").localCheckpoint()
+    val one = graft.operators.Dedup.smallStarRound(
+      graft.operators.Dedup.largeStarRound(e))
+    one.collect()
+    val flat = flattenPlan(one.queryExecution.executedPlan)
+    val shuffles = flat.collect {
+      case s: execution.exchange.ShuffleExchangeExec => s }.distinct
+    assert(shuffles.size == 2,
+      s"expected the adjacency + repartition exchanges only, got " +
+        s"${shuffles.size}:\n${flat.map(_.nodeName).mkString(", ")}")
+    // reference: the r15 small-star (terminal distinct) over the same
+    // large-star output — emitted SETS must match exactly
+    val ls = graft.operators.Dedup.largeStarRound(e)
+    val mins = ls.groupBy("u").agg(min(col("v")).as("m"))
+    val ref = ls.join(mins, "u")
+      .select(explode(array(
+        struct(col("v").as("a"), col("m").as("b")),
+        struct(col("u").as("a"), col("m").as("b")))).as("x"))
+      .select(col("x.a").as("u"), col("x.b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = one.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref, s"fused small-star emits a different edge set:\n" +
+      s"got $got\nref $ref")
+    // the residual-multiplicity bound the fusion's comment claims
+    val rows = one.collect().length
+    assert(rows <= 2 * ref.size,
+      s"multiplicity bound violated: $rows rows for ${ref.size} edges")
+  }
+
+  test("dd16/tx10: one pinned gram pass — splittable count join, no gram window") {
+    // r16 (VERDICT r15 item 6): the r15 count-windows put a corpus-wide
+    // hot gram into ONE window task AQE cannot split. Both queries now
+    // pin the exploded gram table (still a single corpus pass — the main
+    // plan reads an RDD leaf and contains NO Generate of its own) and
+    // count via a partial-aggregating groupBy joined back on the gram
+    // key: map-side combine bounds the hot key's shuffle to ≤ one row
+    // per map task, and the join-back is the shape AQE's skew handling
+    // CAN split. A Generate in the main plan means a consumer
+    // re-embedded the explode (the r15 double-reference trap); a
+    // WindowExec means the unsplittable single-task shape came back.
     for (q <- Seq("dd16_substr_dedup", "tx10_boilerplate")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val flat = flattenPlanThroughReuse(df.queryExecution.executedPlan)
       val gens = flat.collect {
         case g: org.apache.spark.sql.execution.GenerateExec => g }.distinct
-      assert(gens.size == 1,
-        s"$q: expected ONE gram explode, found ${gens.size}")
+      assert(gens.isEmpty,
+        s"$q: gram explode re-embedded in the main plan (${gens.size})")
       assert(flat.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.RDDScanExec]),
+        s"$q: expected the pinned gram table as an RDD-scan leaf")
+      assert(!flat.exists(_.isInstanceOf[
           org.apache.spark.sql.execution.window.WindowExec]),
-        s"$q: expected the gram-count window")
+        s"$q: unsplittable gram-count window came back")
     }
   }
 }

@@ -171,6 +171,53 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally ss.sparkContext.removeSparkListener(maxTask)
   }
 
+  test("hot-gram bomb: substrCoverage bounds a 10⁷-occurrence gram key") {
+    // VERDICT r15 item 6: the r15 count-window funneled a corpus-wide
+    // boilerplate gram through ONE window task AQE cannot split. The r16
+    // shape (pinned gram table + partial-aggregating count + semi-join)
+    // bounds the hot key: map-side combine ships ≤ one row per map task
+    // into the h-partition, and the join-back broadcasts/skew-splits.
+    // Plant ONE gram with 10⁷ occurrences (10⁴ docs × 10³ identical
+    // 8-token windows each — a boilerplate page pasted corpus-wide) and
+    // assert the pipeline both answers exactly and keeps every task under
+    // the spec's scheduler-relevant ceiling.
+    val ss = spark
+    val nDocs = 10000L
+    val toks = 1007
+    val hotText = Seq.fill(toks)("boiler").mkString(" ")
+    val docs = ss.range(nDocs)
+      .select(col("id").as("doc_id"), lit(hotText).as("text"))
+    val maxTask = new org.apache.spark.scheduler.SparkListener {
+      val maxMs = new java.util.concurrent.atomic.AtomicLong(0)
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null)
+          maxTask0(te.taskInfo.duration)
+      private def maxTask0(d: Long): Unit = maxMs.getAndAccumulate(d, math.max)
+    }
+    ss.sparkContext.addSparkListener(maxTask)
+    try {
+      org.apache.spark.GraftSparkTestAccess.drainListenerBus(ss.sparkContext)
+      maxTask.maxMs.set(0)
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Dedup.substrCoverageOf(docs).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftSparkTestAccess.drainListenerBus(ss.sparkContext)
+      info(f"hot-gram corpus: ${rows.length} docs in $sec%.1f s, " +
+        f"max task ${maxTask.maxMs.get()} ms")
+      // exact: every window of every doc is duplicated corpus-wide, so
+      // each doc's coverage is total (n_dup_windows = toks − 7,
+      // covered_tokens = n_tokens = toks)
+      assert(rows.length == nDocs)
+      assert(rows.forall(r => r.getLong(1) == toks &&
+        r.getLong(2) == toks - 7 && r.getLong(3) == toks),
+        s"hot-gram coverage wrong: ${rows.take(3).toSeq}")
+      assert(maxTask.maxMs.get() < 60000L,
+        s"hot-gram task took ${maxTask.maxMs.get()} ms — the count shape " +
+          "no longer bounds the hot key")
+    } finally ss.sparkContext.removeSparkListener(maxTask)
+  }
+
   test("token-budget tie bomb: an all-equal-quality source scans in parallel cells") {
     // pp09's order key is (quality desc, doc_id) — DATA-dependent. A
     // quality-saturated corpus (every doc scoring the ceiling 1.0 — the
