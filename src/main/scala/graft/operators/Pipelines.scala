@@ -667,12 +667,20 @@ object Pipelines {
       val target = Seq("src0", "src1", "src2", "src3")
       val docs = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      // pin the gram table (r16 — the round's JobProfile showed the
+      // explode + per-bigram md5 kernel as pp14's two single-task ~0.6 s
+      // jobs, and `grams` is referenced twice: the weights aggregation
+      // AND the per-doc scoring probe each re-ran the corpus gram pass).
+      // One materialization, one kernel pass — at 100 TB one full corpus
+      // explode saved per run; (doc_id, source, 3-char b) rows, the same
+      // pin class as dd16's gram table.
       val grams = docs
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), col("source"),
           explode(expr("transform(sequence(1, size(toks) - 1), i -> " +
             "substring(md5(cast(concat(element_at(toks, i), ' ', " +
             "element_at(toks, i + 1)) as binary)), 1, 3))")).as("b"))
+        .localCheckpoint(false)
       // one gram pass builds BOTH count columns (conditional agg) — a
       // separate target-filtered groupBy would re-explode the corpus text
       // a second time and pay an O(B) join to stitch rc/tc back together.
